@@ -1,0 +1,212 @@
+"""Model initialization (rnd_init.c).
+
+All initializers are pure functions of a PRNG key, so multi-start batches
+run as vmapped chains with split keys (the reference serially reuses libc
+``rand()``; draw-for-draw parity is impossible and validation is
+statistical - SURVEY.md section 7).
+
+Deliberate deviations from reference quirks (documented; init-only, they
+affect starting points, not fitted optima):
+
+* ``initialize_parameters_mixture`` (rnd_init.c:296-318) re-zeroes cluster
+  k's accumulator inside the k loop while adding counts for ALL clusters
+  each pass, so cluster j ends up with 1 + (K-j) x counts.  We use plain
+  add-one smoothing: (1 + counts) normalized.
+* ``random_individual_center`` corrects the L1 distance for missing data
+  against center 0's missing counts regardless of k (rnd_init.c:247-249);
+  we correct against center k's.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multiclust_tpu.config import InitMethod, InitProcedure
+from multiclust_tpu.model.common import Array, EMConfig, ModelData, Params
+
+tree_map = jax.tree_util.tree_map
+
+
+# ---------------------------------------------------------------------------
+# mixture model
+
+def random_individual_partition(key, md: ModelData, K: int) -> Array:
+    """I_K[i] ~ Uniform{0..K-1} (rnd_init.c:173-179)."""
+    return jax.random.randint(key, (md.I,), 0, K)
+
+
+def random_individual_center(key, md: ModelData, K: int) -> Array:
+    """K unique random centers; assign by L1 distance on counts with a
+    missing-data correction (rnd_init.c:192-259)."""
+    if K == 1:
+        return jnp.zeros((md.I,), jnp.int32)
+    centers = jax.random.choice(key, md.I, (K,), replace=False)
+    xc = md.x[centers]                      # [K, L, M]
+    missc = md.miss[centers]                # [K, L]
+    # dist[i,k] = sum_lm |x_i - x_c|  - sum_l |miss_i - miss_c| / n_alleles
+    # chunked over K to bound the broadcast
+    denom = jnp.maximum(md.n_alleles.astype(md.x.dtype), 1.0)
+    has_miss = md.miss.max(axis=0) > 0      # [L] locus has missing slot
+
+    def dist_k(k):
+        d = jnp.abs(md.x - xc[k][None]).sum(axis=(1, 2))
+        corr = jnp.where(has_miss[None],
+                         jnp.abs(md.miss - missc[k][None]) / denom[None],
+                         0.0).sum(axis=1)
+        return d - corr
+
+    dists = jax.lax.map(dist_k, jnp.arange(K)).T      # [I, K]
+    assign = jnp.argmin(dists, axis=1).astype(jnp.int32)
+    # centers belong to their own cluster
+    assign = assign.at[centers].set(jnp.arange(K, dtype=jnp.int32))
+    return assign
+
+
+def parameters_from_partition_mixture(I_K: Array, md: ModelData,
+                                      K: int) -> Params:
+    """Add-one-smoothed counts given a hard partition
+    (initialize_parameters_mixture, rnd_init.c:268-339)."""
+    dtype = md.x.dtype
+    onehot = jax.nn.one_hot(I_K, K, dtype=dtype)      # [I, K]
+    eta = (1.0 + onehot.sum(axis=0)) / (md.I + K)
+    pc = jnp.einsum("ik,ilm->klm", onehot, md.x)
+    pc = jnp.where(md.mask[None], pc + 1.0, 0.0)
+    p = pc / pc.sum(axis=2, keepdims=True)
+    return Params(eta=eta, p=p)
+
+
+# ---------------------------------------------------------------------------
+# admixture model
+
+def random_allele_partition(key, md: ModelData, codes: Array,
+                            K: int) -> Array:
+    """Assign every observed allele copy to a random cluster
+    (random_allele_partition, rnd_init.c:456-482).  Returns [I, L, P]
+    cluster labels (-1 for missing copies)."""
+    lab = jax.random.randint(key, codes.shape, 0, K)
+    return jnp.where(codes >= 0, lab, -1)
+
+
+def random_allele_center(key, md: ModelData, codes: Array, K: int) -> Array:
+    """Per-locus random center alleles; copies matching a center join its
+    cluster, others are assigned randomly (random_allele_center,
+    rnd_init.c:496-580)."""
+    if K == 1:
+        return jnp.where(codes >= 0, 0, -1)
+    kperm, krand = jax.random.split(key)
+    M = md.M
+    # random permutation of slots per locus; invalid slots sink to the end
+    noise = jax.random.uniform(kperm, (md.L, M))
+    noise = jnp.where(md.mask, noise, 2.0)
+    order = jnp.argsort(noise, axis=1)                # [L, M] slots by rank
+    # rank[l, m] = position of slot m in the random order
+    rank = jnp.argsort(order, axis=1)
+    few = md.n_alleles < K                            # fewer alleles than K
+    # inv[l, m] = cluster of slot m, or -1 when slot m is not a center
+    rank_based = jnp.where(rank < K, rank, -1)
+    ident = jnp.where(jnp.arange(M)[None, :] < md.n_alleles[:, None],
+                      jnp.arange(M)[None, :], -1)
+    inv = jnp.where(few[:, None], ident, rank_based)  # [L, M]
+    inv = jnp.where(md.mask, inv, -1)
+
+    matched = jnp.take_along_axis(
+        inv[None, :, :].repeat(md.I, axis=0), jnp.maximum(codes, 0),
+        axis=2)                                       # [I, L, P]
+    rnd = jax.random.randint(krand, codes.shape, 0, K)
+    lab = jnp.where(matched >= 0, matched, rnd)
+    return jnp.where(codes >= 0, lab, -1)
+
+
+def parameters_from_allele_partition(labels: Array, codes: Array,
+                                     md: ModelData, K: int,
+                                     eta_constrained: bool) -> Params:
+    """Smoothed counts given per-copy cluster labels
+    (initialize_parameters_admixture, rnd_init.c:590-705)."""
+    dtype = md.x.dtype
+    valid = codes >= 0
+    onehot_k = jax.nn.one_hot(jnp.where(valid, labels, K), K,
+                              dtype=dtype)            # [I, L, P, K]
+    copies_ik = onehot_k.sum(axis=(1, 2))             # [I, K]
+    if eta_constrained:
+        eta = (1.0 + copies_ik.sum(axis=0)) / (
+            md.I * md.L * codes.shape[2] + K)
+    else:
+        eta = (1.0 + copies_ik) / (md.L * codes.shape[2] + K)
+
+    onehot_m = jax.nn.one_hot(jnp.where(valid, codes, md.M), md.M,
+                              dtype=dtype)            # [I, L, P, M]
+    pc = jnp.einsum("ilpk,ilpm->klm", onehot_k, onehot_m)
+    pc = jnp.where(md.mask[None], pc + 1.0, 0.0)
+    p = pc / pc.sum(axis=2, keepdims=True)
+    return Params(eta=eta, p=p)
+
+
+# ---------------------------------------------------------------------------
+# top-level initialization (initialize_model, rnd_init.c:54-89)
+
+def random_initialize(key, md: ModelData, K: int, cfg: EMConfig,
+                      method: InitMethod, codes: Array = None) -> Params:
+    if cfg.admixture:
+        if method == InitMethod.RANDOM_PARTITION:
+            labels = random_allele_partition(key, md, codes, K)
+        else:
+            labels = random_allele_center(key, md, codes, K)
+        return parameters_from_allele_partition(labels, codes, md, K,
+                                                cfg.eta_constrained)
+    if method == InitMethod.RANDOM_PARTITION:
+        part = random_individual_partition(key, md, K)
+    else:
+        part = random_individual_center(key, md, K)
+    return parameters_from_partition_mixture(part, md, K)
+
+
+def rand_em_initialize(key, md: ModelData, K: int, cfg: EMConfig,
+                       method: InitMethod, n_rand_em_init: int,
+                       codes: Array = None) -> Params:
+    """Rand-EM: run n starts through one EM step + E step, keep the start
+    whose refined logL is best (randem_initialize_mixture rnd_init.c:123-161;
+    randem_initialize_admixture :412-444).  The winning START (not its
+    refined parameters) seeds the real fit, as in the reference."""
+    from multiclust_tpu.opt.em import model_em_step, model_log_likelihood
+
+    n = n_rand_em_init if K > 1 else 1
+    keys = jax.random.split(key, n)
+
+    def one(k):
+        params = random_initialize(k, md, K, cfg, method, codes)
+        stepped, _, _ = model_em_step(params, md, cfg)
+        ll, _ = model_log_likelihood(stepped, md, cfg)
+        return params, ll[0] + ll[1]
+
+    params_all, lls = jax.lax.map(one, keys)
+    best = jnp.argmax(lls)
+    return tree_map(lambda t: t[best], params_all)
+
+
+def initialize(key, md: ModelData, K: int, cfg: EMConfig,
+               method: InitMethod = InitMethod.RANDOM_CENTERS,
+               procedure: InitProcedure = InitProcedure.NOTHING,
+               n_rand_em_init: int = 50, codes: Array = None) -> Params:
+    if procedure == InitProcedure.RAND_EM:
+        return rand_em_initialize(key, md, K, cfg, method, n_rand_em_init,
+                                  codes)
+    return random_initialize(key, md, K, cfg, method, codes)
+
+
+def codes_from_counts(counts, miss, ploidy: int):
+    """[I, L, P] allele-slot index per copy (-1 for missing copies).
+
+    Copy order within (i,l) is arbitrary - allele copies are exchangeable -
+    so expand the count vector in slot order.  Host-side numpy.
+    """
+    import numpy as np
+    I, L, M = counts.shape
+    cum = np.cumsum(counts, axis=2)                   # [I, L, M]
+    a = np.arange(ploidy)
+    # codes[i,l,a] = number of slots m with cum[i,l,m] <= a
+    codes = (cum[:, :, :, None] <= a[None, None, None, :]).sum(
+        axis=2).astype(np.int32)                      # [I, L, P]
+    observed = ploidy - miss                          # [I, L]
+    codes = np.where(a[None, None, :] < observed[:, :, None], codes, -1)
+    return codes

@@ -1,0 +1,168 @@
+"""Admixture model: each allele copy independently sourced from a cluster.
+
+Likelihood (logL_admixture, log_likelihood.c:96-147):
+    logL = sum_{i,l,m} x_ilm log( sum_k eta_(i)k p_klm )
+
+The reference E-step materializes the responsibility tensor
+``d[i][k][l][m]`` (e_step_admixture_orig, em_alg.c:291-486) and the M-step
+re-reduces it (m_step_admixture_orig, em_alg.c:592-754), with missing copies
+contributing unnormalized mass ``eta_ik p_klm miss_il`` (em_alg.c:400-431).
+
+TPU formulation - never materialize d.  With w_ilm = x_ilm / denom_ilm and
+denom_ilm = sum_k eta_ik p_klm, the complete EM step is four MXU matmuls:
+
+    denom = eta @ p                    [I,K] x [K,LM] -> [I,LM]
+    A     = w @ p^T                    [I,LM] x [LM,K] -> [I,K]
+    B     = eta^T @ w                  [K,I] x [I,LM] -> [K,LM]
+    C     = eta^T @ miss               [K,I] x [I,L]  -> [K,L]
+
+because  sum_lm d_iklm = eta_ik (A_ik + sum_l miss_il)         (eta update)
+and      sum_i  d_iklm = p_klm (B_klm + C_kl)                  (p update),
+each normalized exactly as the reference does (per-individual over k; per
+(k,l) over valid alleles).  The log likelihood is sum x log(denom).
+
+With constrained eta (-c) the denominator loses its i dependence and the
+whole step collapses onto [L,M] tensors via the column sums of x - the
+per-iteration cost drops from O(I K L M) to O(K L M) + one-time O(I L M).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from multiclust_tpu.model.common import Array, EMConfig, ModelData, Params, \
+    safe_log
+from multiclust_tpu.ops import df64
+from multiclust_tpu.ops.simplex import project_rows
+
+
+def _safe_div(num: Array, den: Array) -> Array:
+    ok = num > 0
+    return jnp.where(ok, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+
+def _normalize_p(pc: Array, md: ModelData, cfg: EMConfig) -> Array:
+    tot = jnp.sum(pc, axis=2, keepdims=True)
+    p = jnp.where(md.mask[None] & (tot > 0), pc / jnp.where(tot > 0, tot, 1.0),
+                  0.0)
+    if cfg.do_projection:
+        p = project_rows(p, md.mask[None], md.n_alleles[None, :],
+                         cfg.p_lower_bound)
+    return p
+
+
+def em_step(params: Params, md: ModelData,
+            cfg: EMConfig) -> Tuple[Params, df64.DF, Array]:
+    """One fused E+M iteration; logL is that of the INPUT params."""
+    if cfg.eta_constrained:
+        return _em_step_constrained(params, md, cfg)
+    return _em_step_unconstrained(params, md, cfg)
+
+
+def _em_step_unconstrained(params, md, cfg):
+    eta, p = params.eta, params.p                     # [I,K], [K,L,M]
+    K = params.K
+    p2 = p.reshape(K, -1)                             # [K, LM]
+    x2 = md.x2d                                       # [I, LM]
+
+    denom = eta @ p2                                  # [I, LM]  (MXU)
+    w = _safe_div(x2, denom)                          # [I, LM]
+
+    t = jnp.where(x2 > 0, x2 * safe_log(denom), 0.0)
+    per_i = jnp.sum(t, axis=1)
+    ll = df64.df_sum(per_i)
+    scale = jnp.sqrt(jnp.sum(per_i * per_i))
+
+    # eta update: sum_lm d_iklm = eta_ik (A_ik + c_i)
+    A = w @ p2.T                                      # [I, K]  (MXU)
+    c = jnp.sum(md.miss, axis=1, keepdims=True)       # [I, 1]
+    eta_num = eta * (A + c)
+    eta_new = eta_num / jnp.sum(eta_num, axis=1, keepdims=True)
+    if cfg.do_projection:
+        eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
+                               cfg.eta_lower_bound)
+
+    # p update: sum_i d_iklm = p_klm (B_klm + C_kl)
+    B = eta.T @ w                                     # [K, LM] (MXU)
+    C = eta.T @ md.miss                               # [K, L]  (MXU)
+    pc = p * (B.reshape(K, md.L, md.M) + C[:, :, None])
+    p_new = _normalize_p(pc, md, cfg)
+
+    return Params(eta=eta_new, p=p_new), ll, scale
+
+
+def _em_step_constrained(params, md, cfg):
+    eta, p = params.eta, params.p                     # [K], [K,L,M]
+    K = params.K
+    p2 = p.reshape(K, -1)
+    colx = jnp.sum(md.x2d, axis=0)                    # [LM] (hoistable)
+    msum = jnp.sum(md.miss, axis=0)                   # [L]
+
+    denom = eta @ p2                                  # [LM]
+    t = jnp.where(colx > 0, colx * safe_log(denom), 0.0)
+    ll = df64.df_sum(t)
+    scale = jnp.sqrt(jnp.sum(t * t))
+
+    S = _safe_div(colx, denom).reshape(md.L, md.M) + msum[:, None]
+    S = jnp.where(md.mask, S, 0.0).reshape(-1)        # [LM]
+
+    a = p2 @ S                                        # [K]
+    eta_num = eta * a
+    eta_new = eta_num / jnp.sum(eta_num)
+    if cfg.do_projection:
+        eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
+                               cfg.eta_lower_bound)
+
+    pc = p * S.reshape(1, md.L, md.M)
+    p_new = _normalize_p(pc, md, cfg)
+
+    return Params(eta=eta_new, p=p_new), ll, scale
+
+
+def log_likelihood(params: Params, md: ModelData):
+    """df64 logL at the given params (logL_admixture)."""
+    K = params.K
+    p2 = params.p.reshape(K, -1)
+    if params.eta.ndim == 1:
+        colx = jnp.sum(md.x2d, axis=0)
+        denom = params.eta @ p2
+        t = jnp.where(colx > 0, colx * safe_log(denom), 0.0)
+        return df64.df_sum(t), jnp.sqrt(jnp.sum(t * t))
+    denom = params.eta @ p2
+    t = jnp.where(md.x2d > 0, md.x2d * safe_log(denom), 0.0)
+    per_i = jnp.sum(t, axis=1)
+    return df64.df_sum(per_i), jnp.sqrt(jnp.sum(per_i * per_i))
+
+
+def posterior_allele_mass(params: Params, md: ModelData) -> Array:
+    """dik[i,k] = sum_{l,m} d_iklm - expected alleles sourced from cluster k.
+
+    Used for hard assignments and CLUMPP outputs (partition_admixture,
+    write_file.c:350-382; indivq_admix :525-543; popq_admix :446-459).
+    """
+    K = params.K
+    p2 = params.p.reshape(K, -1)
+    eta = params.eta
+    if eta.ndim == 1:
+        eta = jnp.broadcast_to(eta[None, :], (md.I, K))
+    denom = eta @ p2
+    w = _safe_div(md.x2d, denom)
+    A = w @ p2.T
+    c = jnp.sum(md.miss, axis=1, keepdims=True)
+    return eta * (A + c)
+
+
+def responsibilities_dense(params: Params, md: ModelData) -> Array:
+    """Materialized d[I,K,L,M]; TEST ORACLE ONLY (memory-hungry)."""
+    K = params.K
+    eta = params.eta
+    if eta.ndim == 1:
+        eta = jnp.broadcast_to(eta[None, :], (md.I, K))
+    num = eta[:, :, None, None] * params.p[None]      # [I,K,L,M]
+    denom = jnp.sum(num, axis=1, keepdims=True)
+    d = jnp.where(md.x[:, None] > 0,
+                  md.x[:, None] * num / jnp.where(denom > 0, denom, 1.0), 0.0)
+    d = d + num * md.miss[:, None, :, None]
+    return jnp.where(md.mask[None, None], d, 0.0)

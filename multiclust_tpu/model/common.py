@@ -1,0 +1,105 @@
+"""Shared model-side containers and helpers.
+
+The parameterization follows the reference (multiclust.h:259-306):
+``eta`` are mixing proportions - a [K] vector for the mixture model and for
+the eta-constrained admixture model (-c), or an [I, K] matrix of
+per-individual admixture proportions otherwise - and ``p[K, L, M]`` are
+per-cluster allele frequencies on the padded dense allele axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+class Params(NamedTuple):
+    """Model parameters; a pytree so EM/acceleration treat it uniformly."""
+
+    eta: Array  # [K] or [I, K]
+    p: Array    # [K, L, M]
+
+    @property
+    def K(self) -> int:
+        return self.p.shape[0]
+
+
+class ModelData(NamedTuple):
+    """Device-side genotype tensors consumed by E/M steps."""
+
+    x: Array          # [I, L, M] observed counts, compute dtype
+    miss: Array       # [I, L] missing-copy counts, compute dtype
+    mask: Array       # [L, M] bool valid allele lanes
+    n_alleles: Array  # [L] int32 valid lanes per locus
+
+    @property
+    def I(self) -> int:  # noqa: E743
+        return self.x.shape[0]
+
+    @property
+    def L(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def M(self) -> int:
+        return self.x.shape[2]
+
+    @property
+    def x2d(self) -> Array:
+        return self.x.reshape(self.I, self.L * self.M)
+
+
+class EMConfig(NamedTuple):
+    """Static (hashable) EM configuration; a jit static argument."""
+
+    admixture: bool = False
+    eta_constrained: bool = False
+    do_projection: bool = True
+    eta_lower_bound: float = 1e-8
+    p_lower_bound: float = 1e-8
+    abs_error: float = 1e-4
+    rel_error: float = 0.0
+    max_iter: int = 0
+    accel_scheme: int = 0
+    q: int = 1
+    n_init_iter: int = 0
+    adjust_step: int = 0
+    monotonicity: str = "warn"
+    # multiplier on the f32 elementwise-rounding noise floor used to clamp
+    # the convergence tolerance; see opt/em.py.
+    noise_factor: float = 8.0
+
+    @property
+    def eta_is_vector(self) -> bool:
+        return (not self.admixture) or self.eta_constrained
+
+
+def model_data_from_dataset(ds, dtype=jnp.float32,
+                            device=None) -> ModelData:
+    """Lift a host Dataset into device tensors of the compute dtype."""
+    md = ModelData(
+        x=jnp.asarray(ds.counts, dtype=dtype),
+        miss=jnp.asarray(ds.miss, dtype=dtype),
+        mask=jnp.asarray(ds.mask),
+        n_alleles=jnp.asarray(ds.n_alleles, dtype=jnp.int32),
+    )
+    if device is not None:
+        md = jax.device_put(md, device)
+    return md
+
+
+def safe_log(x: Array, valid: Optional[Array] = None) -> Array:
+    """log with zeros (and masked lanes) mapped to 0 contribution.
+
+    Mirrors the reference's skip of zero-probability terms in the mixture
+    E-step (e_step_mixture, em_alg.c:797-804).
+    """
+    ok = x > 0
+    if valid is not None:
+        ok = ok & valid
+    return jnp.where(ok, jnp.log(jnp.where(ok, x, 1.0)), 0.0)

@@ -1,0 +1,81 @@
+"""Vectorized projection onto the lower-bounded probability simplex.
+
+The reference projects parameter rows onto {x : x_m >= lb, sum_m x_m = 1}
+with Michelot's finite iterative algorithm (michelot_project,
+simplex.c:109-143), one row at a time, with heap allocation per call
+(simplex_project_pklm, simplex.c:47-69).  Michelot's algorithm computes the
+exact Euclidean projection x_m = max(lb, v_m - tau) with tau chosen so the
+sum constraint holds; here we compute the same projection in closed form via
+a per-row sort (Held/Wolfe/Crowder), batched over every row at once and
+masked for the jagged per-locus allele counts.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def project_rows(v: Array, mask: Array, n_valid: Array,
+                 lower_bound: float, total: float = 1.0) -> Array:
+    """Project rows of ``v`` onto {x >= lb on valid lanes, sum = total}.
+
+    Args:
+      v: [..., M] rows to project.
+      mask: [..., M] bool, valid lanes (broadcastable to v's shape).
+      n_valid: [...] number of valid lanes per row (broadcastable).
+      lower_bound: lb >= 0.
+      total: the required sum (1.0 for probability rows).
+
+    Returns: projected rows; invalid lanes are zeroed.
+    """
+    dtype = v.dtype
+    mask = jnp.broadcast_to(mask, v.shape)
+    n_valid = jnp.broadcast_to(jnp.asarray(n_valid, dtype),
+                               v.shape[:-1])[..., None]
+    lb = jnp.asarray(lower_bound, dtype)
+
+    # Shift so the constraint set becomes the plain simplex of size s_prime.
+    w = jnp.where(mask, v - lb, -jnp.inf)
+    s_prime = total - n_valid * lb  # [...,1]
+
+    ws = jnp.sort(w, axis=-1)[..., ::-1]          # descending; -inf last
+    ws_clean = jnp.where(jnp.isfinite(ws), ws, 0.0)
+    css = jnp.cumsum(ws_clean, axis=-1)
+    j = jnp.arange(1, v.shape[-1] + 1, dtype=dtype)
+    tau_j = (css - s_prime) / j
+    cond = (ws > tau_j) & (j <= n_valid)
+    rho = jnp.maximum(jnp.sum(cond, axis=-1, keepdims=True), 1)
+    tau = jnp.take_along_axis(tau_j, rho - 1, axis=-1)
+
+    out = jnp.maximum(w - tau, 0.0) + lb
+    return jnp.where(mask, out, jnp.zeros((), dtype))
+
+
+def michelot_reference(params, lower_bound: float, total: float = 1.0):
+    """Direct numpy port of michelot_project (simplex.c:109-143).
+
+    Kept as a test oracle to certify project_rows() output parity; not used
+    in the compute path.
+    """
+    import numpy as np
+    params = np.array(params, dtype=np.float64)
+    length = params.shape[0]
+    fixed = np.zeros(length, dtype=bool)
+    n = length
+    while n:
+        csum = params.sum()
+        offset = (csum - total) / n
+        can_terminate = True
+        for i in range(length):
+            if not fixed[i]:
+                params[i] -= offset
+                if params[i] < lower_bound:
+                    params[i] = lower_bound
+                    fixed[i] = True
+                    n -= 1
+                    can_terminate = False
+        if can_terminate:
+            break
+    return params

@@ -1,0 +1,167 @@
+"""Certify the fused TPU E/M formulations against the f64 numpy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from multiclust_tpu.io.dataset import Dataset
+from multiclust_tpu.model import admixture, mixture
+from multiclust_tpu.model.common import EMConfig, ModelData, Params, \
+    model_data_from_dataset
+from multiclust_tpu.ops import df64
+from multiclust_tpu.ops.simplex import michelot_reference, project_rows
+from multiclust_tpu.stats.sim import random_model, simulate_admixture_fast, \
+    simulate_mixture
+
+
+def make_data(rng, I=12, L=6, M=3, K=3, missing_rate=0.15, ploidy=2):
+    Q, P = random_model(rng, K, L, M, I=I)
+    ds = simulate_admixture_fast(rng, Q, P, ploidy=ploidy,
+                                 missing_rate=missing_rate)
+    return ds
+
+
+def rand_params(rng, K, md, per_individual=False):
+    I, L, M = md.I, md.L, md.M
+    mask = np.asarray(md.mask)
+    p = rng.random((K, L, M)) + 0.1
+    p = np.where(mask[None], p, 0.0)
+    p = p / p.sum(axis=2, keepdims=True)
+    if per_individual:
+        eta = rng.random((I, K)) + 0.1
+        eta = eta / eta.sum(axis=1, keepdims=True)
+    else:
+        eta = rng.random(K) + 0.1
+        eta = eta / eta.sum()
+    return Params(eta=jnp.asarray(eta, jnp.float64),
+                  p=jnp.asarray(p, jnp.float64))
+
+
+def to_md(ds):
+    return model_data_from_dataset(ds, dtype=jnp.float64)
+
+
+class TestSimplex:
+    def test_matches_michelot(self, rng):
+        for n in (2, 3, 5, 17):
+            for _ in range(20):
+                v = rng.normal(size=n) * rng.choice([0.1, 1.0, 10.0])
+                lb = 10 ** rng.uniform(-9, -2)
+                ours = np.asarray(project_rows(
+                    jnp.asarray(v), jnp.ones(n, bool), n, lb))
+                ref = michelot_reference(v, lb)
+                np.testing.assert_allclose(ours, ref, atol=1e-12)
+                assert abs(ours.sum() - 1.0) < 1e-9
+                assert (ours >= lb - 1e-15).all()
+
+    def test_masked_rows(self, rng):
+        # batched rows with different valid counts
+        M = 6
+        v = rng.normal(size=(4, M))
+        n_valid = np.array([2, 3, 6, 4])
+        mask = np.arange(M)[None, :] < n_valid[:, None]
+        out = np.asarray(project_rows(jnp.asarray(v), jnp.asarray(mask),
+                                      jnp.asarray(n_valid), 1e-6))
+        for r in range(4):
+            ref = michelot_reference(v[r, :n_valid[r]], 1e-6)
+            np.testing.assert_allclose(out[r, :n_valid[r]], ref, atol=1e-12)
+            assert (out[r, n_valid[r]:] == 0).all()
+
+
+class TestMixture:
+    def test_e_step_matches_oracle(self, rng):
+        ds = make_data(rng)
+        md = to_md(ds)
+        params = rand_params(rng, 3, md)
+        v, ll, _ = mixture.e_step(params, md)
+        v_ref, ll_ref = oracle.mixture_e_step(
+            np.asarray(params.eta), np.asarray(params.p), ds.counts, ds.mask)
+        np.testing.assert_allclose(np.asarray(v), v_ref, atol=1e-10)
+        np.testing.assert_allclose(float(df64.df_value(ll)), ll_ref,
+                                   rtol=1e-12)
+
+    @pytest.mark.parametrize("do_projection", [True, False])
+    def test_m_step_matches_oracle(self, rng, do_projection):
+        ds = make_data(rng)
+        md = to_md(ds)
+        cfg = EMConfig(admixture=False, do_projection=do_projection,
+                       p_lower_bound=1e-5, eta_lower_bound=1e-5)
+        params = rand_params(rng, 3, md)
+        v, _, _ = mixture.e_step(params, md)
+        new = mixture.m_step(v, md, cfg)
+        eta_ref, p_ref = oracle.mixture_m_step(
+            np.asarray(v), ds.counts, ds.mask, 1e-5, 1e-5,
+            do_projection=do_projection)
+        np.testing.assert_allclose(np.asarray(new.eta), eta_ref, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(new.p), p_ref, atol=1e-10)
+
+
+class TestAdmixture:
+    @pytest.mark.parametrize("constrained", [False, True])
+    @pytest.mark.parametrize("missing_rate", [0.0, 0.2])
+    def test_em_step_matches_oracle(self, rng, constrained, missing_rate):
+        ds = make_data(rng, missing_rate=missing_rate)
+        md = to_md(ds)
+        K = 3
+        cfg = EMConfig(admixture=True, eta_constrained=constrained,
+                       do_projection=True, p_lower_bound=1e-6,
+                       eta_lower_bound=1e-6)
+        params = rand_params(rng, K, md, per_individual=not constrained)
+        new, ll, _ = admixture.em_step(params, md, cfg)
+
+        d_ref, ll_ref = oracle.admixture_e_step(
+            np.asarray(params.eta), np.asarray(params.p),
+            ds.counts, ds.miss, ds.mask)
+        eta_ref, p_ref = oracle.admixture_m_step(
+            d_ref, ds.counts, ds.miss, ds.mask, constrained, 1e-6, 1e-6)
+        np.testing.assert_allclose(float(df64.df_value(ll)), ll_ref,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(new.eta), eta_ref, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(new.p), p_ref, atol=1e-9)
+
+    def test_dense_responsibilities_match_oracle(self, rng):
+        ds = make_data(rng, missing_rate=0.25)
+        md = to_md(ds)
+        params = rand_params(rng, 3, md, per_individual=True)
+        d = admixture.responsibilities_dense(params, md)
+        d_ref, _ = oracle.admixture_e_step(
+            np.asarray(params.eta), np.asarray(params.p),
+            ds.counts, ds.miss, ds.mask)
+        np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-10)
+
+    def test_posterior_allele_mass(self, rng):
+        ds = make_data(rng, missing_rate=0.1)
+        md = to_md(ds)
+        params = rand_params(rng, 3, md, per_individual=True)
+        dik = admixture.posterior_allele_mass(params, md)
+        d_ref, _ = oracle.admixture_e_step(
+            np.asarray(params.eta), np.asarray(params.p),
+            ds.counts, ds.miss, ds.mask)
+        np.testing.assert_allclose(np.asarray(dik),
+                                   d_ref.sum(axis=(2, 3)), atol=1e-9)
+        # every individual's mass totals ploidy * L
+        np.testing.assert_allclose(np.asarray(dik).sum(axis=1),
+                                   ds.ploidy * ds.L, rtol=1e-9)
+
+    def test_log_likelihood(self, rng):
+        ds = make_data(rng, missing_rate=0.1)
+        md = to_md(ds)
+        for per_ind in (True, False):
+            params = rand_params(rng, 3, md, per_individual=per_ind)
+            ll, _ = admixture.log_likelihood(params, md)
+            ll_ref = oracle.admixture_log_likelihood(
+                np.asarray(params.eta), np.asarray(params.p),
+                ds.counts, ds.mask)
+            np.testing.assert_allclose(float(df64.df_value(ll)), ll_ref,
+                                       rtol=1e-12)
+
+
+class TestDf64:
+    def test_df_sum_precision(self, rng):
+        # sum of values whose f32 naive sum loses the small terms
+        big = np.float32(1e6)
+        vals = np.concatenate([[big], np.full(1000, np.float32(1e-3))])
+        hi, lo = df64.df_sum(jnp.asarray(vals, jnp.float32))
+        got = float(hi) + float(lo)
+        assert abs(got - (1e6 + 1.0)) < 1e-3

@@ -238,12 +238,17 @@ def two_em_steps(state: EMState, md: ModelData, cfg: EMConfig
 # ---------------------------------------------------------------------------
 # accelerated updates (accel_em.c)
 
-def _newest(ring: AccelRing, q: int):
-    idx = (ring.pos - 1) % q
+def _slot(ring: AccelRing, q: int, back: int):
+    """Fetch the (u, v) pair written `back` pushes ago (1 = newest)."""
+    idx = (ring.pos - back) % q
     take = lambda t: tree_map(  # noqa: E731
         lambda b: jax.lax.dynamic_index_in_dim(b, idx, axis=0,
                                                keepdims=False), t)
     return take(ring.u), take(ring.v)
+
+
+def _newest(ring: AccelRing, q: int):
+    return _slot(ring, q, 1)
 
 
 def step_size(scheme: int, u: Params, v: Params, dtype) -> Array:
@@ -297,17 +302,19 @@ def qn_point(x0: Params, ring: AccelRing, cfg: EMConfig) -> Params:
     """Quasi-Newton update with q>1 secants (Zhou/Alexander/Lange 2011;
     qn_accelerated_update, accel_em.c:262-419).
 
-    x' = x0 + u_new + sum_j y_j V_j  with  y = A^{-1} c,
+    x' = x0 + u_add + sum_j y_j V_j  with  y = A^{-1} c,
     A[j,n] = <U_j, U_n> - <U_j, V_n>,  c[n] = <u_new, U_n>.
 
-    The result is invariant to the ring's slot permutation, so no rolling is
-    needed.  Deviation from the reference: the added increment is the NEWEST
-    u (the reference adds the second-newest for q>1, accel_em.c:267-268 - a
-    latent indexing bug; Zhou 2011's formula and the reference's own q=1
-    behavior both use the newest).
+    The V-sum is invariant to the ring's slot permutation, so no rolling is
+    needed.  For trajectory parity, ``u_add`` replicates the reference's
+    index arithmetic exactly (accel_em.c:267-268, :364-375): the SECOND
+    newest u when q > 1, the newest when q = 1.  (Zhou 2011's formula calls
+    for the newest in both cases - a likely latent bug in the reference that
+    we reproduce deliberately; the guarded accept makes it safe.)
     """
     q = cfg.q
     u_new, _ = _newest(ring, q)
+    u_add, _ = _slot(ring, q, 2 if q > 1 else 1)
 
     def pairdot(a_stack, b_stack):
         # [q, ...] x [q, ...] -> [q, q] summed over all parameter blocks
@@ -325,7 +332,7 @@ def qn_point(x0: Params, ring: AccelRing, cfg: EMConfig) -> Params:
     def upd(x, uu, vv):
         return x + uu + jnp.tensordot(y, vv.reshape(q, -1),
                                       axes=1).reshape(x.shape)
-    return tree_map(upd, x0, u_new, ring.v)
+    return tree_map(upd, x0, u_add, ring.v)
 
 
 def accel_macro_step(state: EMState, md: ModelData,

@@ -1,0 +1,217 @@
+"""Golden comparison against the compiled C reference.
+
+Strategy (SURVEY.md section 4): the reference's libc rand() stream cannot be
+replicated, so determinism comes from the -Q/-P warm start (read_qfile /
+read_pfile, read_file.c:880-959): identical initial parameters =>
+identical EM trajectories (up to fp associativity) => converged logL, Q, P,
+AIC, BIC must agree.
+"""
+
+import os
+import re
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF_SRC = "/root/reference"
+BUILD = "/tmp/refbuild"
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    binary = os.path.join(BUILD, "multiclust")
+    if not os.path.exists(binary):
+        if not os.path.isdir(REF_SRC):
+            pytest.skip("reference sources unavailable")
+        os.makedirs(BUILD, exist_ok=True)
+        for f in os.listdir(REF_SRC):
+            if f.endswith((".c", ".h")) or f == "makefile":
+                shutil.copy(os.path.join(REF_SRC, f), BUILD)
+        subprocess.run(["make"], cwd=BUILD, check=True,
+                       capture_output=True)
+    return binary
+
+
+def write_structure_file(ds, path):
+    with open(path, "w") as fh:
+        fh.write(" ".join(f"loc{l + 1}" for l in range(ds.L)) + "\n")
+        for i in range(ds.I):
+            for a in range(ds.ploidy):
+                row = ds.IL[i * ds.ploidy + a]
+                fh.write(f"ind{i} pop0 " + " ".join(map(str, row)) + "\n")
+
+
+def make_biallelic(rng, I=60, L=30, K=3):
+    """Admixture data where every locus certainly shows both alleles."""
+    from multiclust_tpu.stats.sim import random_model, \
+        simulate_admixture_fast
+    while True:
+        Q, P = random_model(rng, K, L, 2, I=I, concentration=1.0)
+        ds = simulate_admixture_fast(rng, Q, P, ploidy=2)
+        if (ds.n_alleles == 2).all():
+            return ds
+
+
+def warm_start_files(rng, ds, K, tmp, constrained=False):
+    """Write -Q/-P files and return the equivalent Params."""
+    import jax.numpy as jnp
+    from multiclust_tpu.model.common import Params
+    if constrained:
+        eta = rng.dirichlet(np.full(K, 5.0))
+    else:
+        eta = rng.dirichlet(np.full(K, 5.0), size=ds.I)
+    p0 = rng.uniform(0.2, 0.8, size=(K, ds.L))
+    qfile = os.path.join(tmp, "warm.q")
+    pfile = os.path.join(tmp, "warm.p")
+    np.savetxt(qfile, eta if eta.ndim == 2 else eta[None, :], fmt="%.17g")
+    # read_pfile order: for l: for k: p[k][l][0] (read_file.c:937-954)
+    with open(pfile, "w") as fh:
+        for l in range(ds.L):
+            fh.write(" ".join(f"{p0[k, l]:.17g}" for k in range(K)) + "\n")
+    p = np.stack([np.stack([p0[k], 1.0 - p0[k]], axis=1) for k in range(K)])
+    return qfile, pfile, Params(eta=jnp.asarray(eta, jnp.float64),
+                                p=jnp.asarray(p, jnp.float64))
+
+
+def run_reference(ref_binary, args, cwd):
+    out = subprocess.run([ref_binary] + args, cwd=cwd, capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out
+
+
+def parse_out_file(path):
+    text = open(path).read()
+    logL = float(re.search(r"logL = (\S+)", text).group(1))
+    aic = float(re.search(r"AIC = (\S+)", text).group(1))
+    bic = float(re.search(r"BIC = (\S+)", text).group(1))
+    return logL, aic, bic
+
+
+def fit_ours(ds, K, admixture, params0, accel=0, q=1, adjust_step=0,
+             constrained=False):
+    import jax
+    import jax.numpy as jnp
+    from multiclust_tpu.model.common import EMConfig, \
+        model_data_from_dataset
+    from multiclust_tpu.opt.driver import fit
+    lb = min(1e-8, 1.0 / ds.I / ds.ploidy - 0.5 / ds.I / ds.ploidy)
+    cfg = EMConfig(admixture=admixture, eta_constrained=constrained,
+                   abs_error=1e-4, eta_lower_bound=lb, p_lower_bound=lb,
+                   accel_scheme=accel, q=q, adjust_step=adjust_step)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    return fit(params0, md, cfg), md, cfg
+
+
+@pytest.mark.parametrize("accel_args,accel,q,adjust", [
+    ([], 0, 1, 0),
+    (["-s", "1", "-g", "20"], 1, 1, 20),
+    (["-s", "3", "-g", "20"], 3, 1, 20),
+    (["-s", "4"], 4, 1, 0),
+    (["-s", "6"], 4, 3, 0),
+])
+def test_admixture_warm_start_parity(ref_binary, tmp_path, rng,
+                                     accel_args, accel, q, adjust):
+    K = 3
+    ds = make_biallelic(rng, I=60, L=30, K=K)
+    data = str(tmp_path / "toy.str")
+    write_structure_file(ds, data)
+    qfile, pfile, params0 = warm_start_files(rng, ds, K, str(tmp_path))
+
+    run_reference(ref_binary,
+                  ["-f", "toy.str", "-a", "-k", str(K), "-n", "1",
+                   "-Q", "warm.q", "-P", "warm.p"] + accel_args,
+                  cwd=str(tmp_path))
+    ref_logL, ref_aic, ref_bic = parse_out_file(
+        str(tmp_path / f"toy.str.admix.K={K}.out.txt"))
+
+    res, md, cfg = fit_ours(ds, K, True, params0, accel=accel, q=q,
+                            adjust_step=adjust)
+    assert res.converged
+    if accel == 0:
+        # plain EM trajectories are deterministic: tight parity
+        assert abs(res.logL - ref_logL) < 2e-3, (res.logL, ref_logL)
+    else:
+        # accelerated accept/backtrack decisions flip on fp rounding, so
+        # the exact stopping iterate differs; require the same basin and
+        # at-least-as-good convergence
+        assert res.logL >= ref_logL - 2e-2, (res.logL, ref_logL)
+        assert abs(res.logL - ref_logL) < 2.0, (res.logL, ref_logL)
+
+    # AIC/BIC parity (tolerance = 2x the logL tolerance since AIC = -2logL+c)
+    ll_tol = 5e-3 if accel == 0 else 5e-2
+    from multiclust_tpu.model.likelihood import aic, bic
+    npar = ds.n_parameters(K, admixture=True, eta_constrained=False)
+    assert abs(aic(res.logL, npar) - ref_aic) < 2 * ll_tol
+    assert abs(bic(res.logL, npar, ds.I) - ref_bic) < 2 * ll_tol
+
+    # Q/P parity; accelerated trajectories are fp-chaotic near simplex
+    # boundaries (accept/backtrack decisions can flip), so their parameter
+    # tolerance is looser - the converged logL above is the strict check.
+    atol = 2e-3 if accel == 0 else 1.5e-2
+    et = np.loadtxt(str(tmp_path / f"toy.str.admix.K={K}.etaik.txt"),
+                    skiprows=1)
+    ref_eta = et[:, 2].reshape(ds.I, K)
+    np.testing.assert_allclose(np.asarray(res.state.params.eta), ref_eta,
+                               atol=atol)
+
+    pk = np.loadtxt(str(tmp_path / f"toy.str.admix.K={K}.pklm.txt"),
+                    skiprows=1)
+    ref_p = np.zeros((K, ds.L, 2))
+    for k, l, m, val in pk:
+        ref_p[int(k), int(l), int(m)] = val
+    np.testing.assert_allclose(np.asarray(res.state.params.p), ref_p,
+                               atol=atol)
+
+
+def test_admixture_constrained_parity(ref_binary, tmp_path, rng):
+    K = 3
+    ds = make_biallelic(rng, I=50, L=20, K=K)
+    write_structure_file(ds, str(tmp_path / "toy.str"))
+    qfile, pfile, params0 = warm_start_files(rng, ds, K, str(tmp_path),
+                                             constrained=True)
+    run_reference(ref_binary,
+                  ["-f", "toy.str", "-a", "-c", "-k", str(K), "-n", "1",
+                   "-Q", "warm.q", "-P", "warm.p"], cwd=str(tmp_path))
+    ref_logL, _, _ = parse_out_file(
+        str(tmp_path / f"toy.str.admix.K={K}.out.txt"))
+    res, _, _ = fit_ours(ds, K, True, params0, constrained=True)
+    assert res.converged
+    assert abs(res.logL - ref_logL) < 2e-3, (res.logL, ref_logL)
+    et = np.loadtxt(str(tmp_path / f"toy.str.admix.K={K}.etak.txt"),
+                    skiprows=1)
+    np.testing.assert_allclose(np.asarray(res.state.params.eta),
+                               et[:, 1], atol=2e-3)
+
+
+def test_mixture_k1_parity(ref_binary, tmp_path, rng):
+    """K=1 has a unique optimum: logL/AIC/BIC must match exactly-ish."""
+    import jax.numpy as jnp
+    from multiclust_tpu.model.common import EMConfig, Params, \
+        model_data_from_dataset
+    from multiclust_tpu.opt import em as em_mod
+
+    ds = make_biallelic(rng, I=40, L=25, K=2)
+    write_structure_file(ds, str(tmp_path / "toy.str"))
+    run_reference(ref_binary, ["-f", "toy.str", "-k", "1", "-n", "1"],
+                  cwd=str(tmp_path))
+    ref_logL, ref_aic, ref_bic = parse_out_file(
+        str(tmp_path / "toy.str.mix.K=1.out.txt"))
+
+    lb = min(1e-8, 0.5 / ds.I / ds.ploidy)
+    cfg = EMConfig(admixture=False, eta_lower_bound=lb, p_lower_bound=lb)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    # any valid start works for K=1
+    p = np.full((1, ds.L, 2), 0.5)
+    params = Params(eta=jnp.ones((1,), jnp.float64),
+                    p=jnp.asarray(p, jnp.float64))
+    state = em_mod.fit_k1(params, md, cfg)
+    got = float(state.logL_hi + state.logL_lo)
+    assert abs(got - ref_logL) < 1e-3, (got, ref_logL)
+
+    from multiclust_tpu.model.likelihood import aic, bic
+    npar = ds.n_parameters(1, admixture=False, eta_constrained=False)
+    assert abs(aic(got, npar) - ref_aic) < 5e-3
+    assert abs(bic(got, npar, ds.I) - ref_bic) < 5e-3

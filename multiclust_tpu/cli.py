@@ -1,0 +1,396 @@
+"""Command-line interface, flag-compatible with the reference binary.
+
+Parser semantics follow parse_options (multiclust.c:1396-1735): single-pass
+switch on the first non-dash character with multi-character disambiguation
+(e.g. -b vs --bound by prefix "bou").  See fprint_usage
+(multiclust.c:1744-1891) for the documented surface.
+
+Run as ``python -m multiclust_tpu.cli <reference flags>``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from multiclust_tpu.config import AccelScheme, InitProcedure, MISSING, \
+    Options, OutputFormat
+
+
+class UsageError(SystemExit):
+    def __init__(self, msg: str):
+        super().__init__(f"multiclust-tpu: {msg}\nTry '-h' for help.")
+
+
+def _need(argv, i, flag):
+    if i >= len(argv):
+        raise UsageError(f"option '{flag}' requires an argument")
+    return argv[i]
+
+
+def parse_args(argv: List[str]) -> Options:
+    opt = Options()
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if len(arg) < 2 or arg[0] != "-":
+            raise UsageError(f"unrecognized argument '{arg}'")
+        name = arg.lstrip("-")
+        if not name:
+            raise UsageError(f"unrecognized argument '{arg}'")
+        a = name[0]
+        i += 1
+        if a == "a":
+            opt.admixture = True
+        elif a == "A":
+            opt.afile = _need(argv, i, arg); i += 1
+        elif a == "b":
+            if name.startswith("bou"):
+                opt.lower_bound = float(_need(argv, i, arg)); i += 1
+                if opt.lower_bound < 0:
+                    raise UsageError("--bound must be >= 0")
+            else:
+                opt.n_bootstrap = int(_need(argv, i, arg)); i += 1
+                if opt.n_bootstrap < 0:
+                    raise UsageError("-b must be >= 0")
+        elif a == "B":
+            pass  # debug-only simplified loop in the reference (-B)
+        elif a == "c":
+            opt.eta_constrained = True
+        elif a == "d":
+            opt.path = _need(argv, i, arg); i += 1
+        elif a == "e":
+            opt.rel_error = float(_need(argv, i, arg)); i += 1
+        elif a == "E":
+            opt.abs_error = float(_need(argv, i, arg)); i += 1
+        elif a == "f":
+            if name.startswith("fo"):
+                fmt = _need(argv, i, arg); i += 1
+                if fmt == "ped":
+                    opt.output_format = OutputFormat.PED
+                elif fmt == "stru":
+                    opt.output_format = OutputFormat.STRUCTURE
+                else:
+                    raise UsageError(f"unknown output format '{fmt}'")
+            else:
+                opt.filename = _need(argv, i, arg); i += 1
+        elif a == "g":
+            opt.adjust_step = int(_need(argv, i, arg)); i += 1
+        elif a == "h":
+            print_usage()
+            raise SystemExit(0)
+        elif a == "i":
+            if name.startswith("im"):
+                opt.imputation_method = 1
+                if i < len(argv) and not argv[i].startswith("-"):
+                    opt.imputed_outfile = argv[i]; i += 1
+            else:
+                opt.n_init_iter = int(_need(argv, i, arg)); i += 1
+        elif a == "I":
+            if name == "I1":
+                opt.one_plus = True
+            opt.alleles_are_indices = True
+        elif a == "1":
+            opt.min_K = int(_need(argv, i, arg)); i += 1
+        elif a == "2":
+            opt.max_K = int(_need(argv, i, arg)); i += 1
+        elif a == "k":
+            opt.max_K = int(_need(argv, i, arg)); i += 1
+            opt.min_K = opt.max_K
+        elif a == "m":
+            if name.startswith("mi"):
+                opt.missing_value = int(_need(argv, i, arg)); i += 1
+            else:
+                opt.n_rand_em_init = int(_need(argv, i, arg)); i += 1
+                if opt.n_rand_em_init == 0:
+                    opt.initialization_procedure = InitProcedure.NOTHING
+                else:
+                    opt.initialization_procedure = InitProcedure.RAND_EM
+        elif a == "M":
+            opt.parallel = True
+            opt.n_repeat = 1
+            opt.verbosity = 1  # SILENT
+        elif a == "n":
+            opt.n_init = int(_need(argv, i, arg)); i += 1
+            if opt.n_init == 0:
+                opt.n_repeat = 0
+        elif a == "o":
+            opt.outfile_name = _need(argv, i, arg); i += 1
+        elif a == "p":
+            if name.startswith("pr"):
+                opt.do_projection = False
+            elif name.startswith("pl"):
+                opt.write_plus_one = True
+            else:
+                opt.ploidy = int(_need(argv, i, arg)); i += 1
+                if opt.ploidy < 1:
+                    raise UsageError("-p must be >= 1")
+        elif a == "P":
+            opt.pfile = _need(argv, i, arg); i += 1
+        elif a == "Q":
+            opt.qfile = _need(argv, i, arg); i += 1
+        elif a == "R":
+            opt.R_format = True
+        elif a == "r":
+            opt.seed = int(_need(argv, i, arg)); i += 1
+        elif a == "x":
+            # block relaxation: parsed but never implemented in the
+            # reference ("[KSD TODO: no block relax implemented]",
+            # em_alg.c:80); accepted and ignored for compatibility
+            pass
+        elif a == "s":
+            if name.startswith("si"):
+                opt.simulate = True
+                opt.admix_qfile = _need(argv, i, arg); i += 1
+                opt.admix_pfile = _need(argv, i, arg); i += 1
+                if i < len(argv) and not argv[i].startswith("-"):
+                    opt.simulate_outfile = argv[i]; i += 1
+            else:
+                s = int(_need(argv, i, arg)); i += 1
+                if s < 0:
+                    raise UsageError("-s must be >= 0")
+                opt.accel_scheme = AccelScheme(min(s, 4)) \
+                    if s <= 4 else AccelScheme.QN
+                if s >= 4:
+                    opt.accel_scheme = s  # resolved in synchronize()
+        elif a == "t":
+            opt.n_seconds = 60 * int(_need(argv, i, arg)); i += 1
+        elif a == "T" or (a == "C" and len(name) == 1):
+            opt.max_iter = int(_need(argv, i, arg)); i += 1
+        elif a == "u":
+            while i < len(argv) and not argv[i].startswith("-"):
+                sub = argv[i]; i += 1
+                if sub == "l":
+                    opt.target_ll = True
+                    opt.desired_ll = float(_need(argv, i, arg)); i += 1
+                elif sub == "n":
+                    opt.target_revisit = int(_need(argv, i, arg)); i += 1
+                else:
+                    raise UsageError(f"unknown -u selector '{sub}'")
+        elif a == "v":
+            if i < len(argv):
+                try:
+                    opt.verbosity = int(argv[i]); i += 1
+                except ValueError:
+                    opt.verbosity = 6  # VERBOSE
+            else:
+                opt.verbosity = 6
+        elif a == "w":
+            while i < len(argv) and not argv[i].startswith("-"):
+                sub = argv[i]; i += 1
+                if sub == "t":
+                    opt.repeat_seconds = 60 * int(_need(argv, i, arg))
+                    i += 1
+                elif sub == "m":
+                    opt.max_repeat_seconds = 60 * int(_need(argv, i, arg))
+                    i += 1
+                elif sub == "n":
+                    opt.n_repeat = int(_need(argv, i, arg)); i += 1
+                    if opt.n_repeat <= 0:
+                        raise UsageError("-w n must be > 0")
+                else:
+                    raise UsageError(f"unknown -w selector '{sub}'")
+            opt.write_files = False
+        else:
+            raise UsageError(f"unknown option '{arg}'")
+
+    if opt.filename is None and not opt.simulate:
+        raise UsageError(
+            "You must specify the data file with command line option '-f'.")
+    return opt
+
+
+def print_usage():
+    print("""
+NAME
+\tmulticlust-tpu - Maximum likelihood clustering of discrete data (TPU)
+
+SYNOPSIS
+\tpython -m multiclust_tpu.cli [-k <n> | -1 <n> -2 <n>] [options] -f <file>
+
+OPTIONS (reference-compatible; see multiclust -h for details)
+\t-a\tadmixture model\t\t-c\tconstrained mixing proportions
+\t-f <s>\tSTRUCTURE data file\t-k/-1/-2 <n>\tnumber of clusters / sweep
+\t-n <n>\tEM initializations\t-m <n>\tRand-EM initializations
+\t-s <n>\tacceleration: 0 none, 1-3 SQUAREM v1-3, 4-6 QN q=1-3
+\t-g <n>\tmax step-size adjustments\t-i <n>\twarmup EM iterations
+\t-e/-E <d>\trel/abs logL convergence error
+\t-b <n>\tbootstrap LRT replicates\t--bound <d>\tparameter lower bound
+\t-p <n>\tploidy\t--missing <n>\tmissing value\t--impute [file]
+\t-I/-I1\talleles are indices (+1)\t-R\tR-format file
+\t-Q/-P <f>\twarm-start eta/p files\t-A <f>\ttrue partition file
+\t-r <n>\tPRNG seed\t-t <n>\ttime cap (minutes)\t-T <n>\tmax iterations
+\t-u l <d> / -u n <n>\ttarget logL / revisit-count stop
+\t-w n/t/m <n>\trepeat-timing harness\t-o <s>\toutput base name
+\t-d <s>\toutput directory\t--format stru|ped\t--plus\t--projection
+\t-M\tprint only max logL\t-v [n]\tverbosity
+""")
+
+
+# ---------------------------------------------------------------------------
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import jax
+
+    opt = parse_args(sys.argv[1:] if argv is None else argv)
+    key = jax.random.PRNGKey(opt.seed)
+
+    if opt.simulate:
+        return _run_simulate(opt)
+
+    import jax.numpy as jnp
+    from multiclust_tpu.init.random import codes_from_counts
+    from multiclust_tpu.io.structure import read_structure
+    from multiclust_tpu.io.warm_start import read_afile, read_pfile, \
+        read_qfile
+    from multiclust_tpu.model.common import Params, model_data_from_dataset
+    from multiclust_tpu.runtime.ksweep import estimate_model
+    from multiclust_tpu.runtime.timing import timed_model_estimation
+
+    ds = read_structure(opt.filename, opt)
+    opt = opt.synchronize(ds.I, ds.ploidy)
+    dtype = jnp.dtype(opt.dtype)
+    md = model_data_from_dataset(ds, dtype=dtype)
+
+    codes = None
+    if opt.admixture:
+        codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, ds.ploidy))
+
+    warm = None
+    if opt.admixture and opt.qfile and opt.pfile:
+        eta = read_qfile(opt.qfile, ds.I, opt.max_K,
+                         per_individual=not opt.eta_constrained)
+        p = read_pfile(opt.pfile, ds.L, opt.max_K)
+        warm = Params(eta=jnp.asarray(eta, dtype), p=jnp.asarray(p, dtype))
+
+    truth = None
+    if opt.afile:
+        truth, _ = read_afile(opt.afile, ds.I)
+
+    def n_parameters(K):
+        return ds.n_parameters(K, opt.admixture, opt.eta_constrained)
+
+    t_start = time.time()
+
+    if opt.n_repeat != 1:
+        timed_model_estimation(key, md, ds, opt, n_parameters, codes=codes,
+                               warm=warm, true_partition=truth)
+        return 0
+
+    def on_model_done(K, mres):
+        if opt.write_files and mres.best_params is not None:
+            _write_outputs(opt, ds, md, K, mres)
+        if opt.verbosity:
+            print_model_state(opt, ds, mres, time.time() - t_start)
+
+    est = estimate_model(key, md, opt, n_parameters, codes=codes,
+                         warm=warm, true_partition=truth,
+                         on_model_done=on_model_done)
+
+    if opt.parallel:
+        # -M: stdout carries only the max log likelihood
+        # (multiclust.c:144-145)
+        print(f"{est.last.max_logL:f}")
+
+    if opt.n_bootstrap:
+        from multiclust_tpu.stats.bootstrap import run_bootstrap
+        key, sub = jax.random.split(key)
+
+        def log(rep, ts, ntime):
+            print(f"Bootstrap dataset {rep + 1} (of {opt.n_bootstrap}): "
+                  f"test statistics bs={ts:f} obs={est.ts:f} "
+                  f"({ntime / (rep + 1):f})")
+
+        bres = run_bootstrap(sub, md, opt, n_parameters, est.ts,
+                             est.h0_params, ds.ploidy, log=log)
+        print(f"p-value to reject H0: K={bres.null_K} is {bres.pvalue:f}")
+    return 0
+
+
+def _run_simulate(opt: Options) -> int:
+    """--simulate qfile pfile [ofile] (multiclust.c:101-116)."""
+    from multiclust_tpu.io.warm_start import read_admixture_pfile, \
+        read_admixture_qfile
+    from multiclust_tpu.io.writers import write_data
+    from multiclust_tpu.stats.sim import simulate_admixture_fast
+
+    Q = read_admixture_qfile(opt.admix_qfile)
+    P = read_admixture_pfile(opt.admix_pfile, Q.shape[1])
+    rng = np.random.default_rng(opt.seed)
+    ds = simulate_admixture_fast(rng, Q, P, ploidy=opt.ploidy)
+    write_data(opt, ds, opt.simulate_outfile)
+    if opt.verbosity:
+        print(f"Simulated {ds.I} individuals x {ds.L} loci -> "
+              f"{opt.simulate_outfile}")
+    return 0
+
+
+def _write_outputs(opt: Options, ds, md, K: int, mres) -> None:
+    import jax.numpy as jnp
+
+    from multiclust_tpu.io import writers
+    from multiclust_tpu.runtime.multistart import hard_partition
+
+    params = mres.best_params
+    eta = np.asarray(params.eta)
+    p = np.asarray(params.p)
+    assign = hard_partition(params, md, opt.admixture)
+    count_K = np.bincount(assign, minlength=K)
+
+    writers.write_file_detail(opt, ds, K, mres.max_logL,
+                              mres.ever_converged, mres.aic, mres.bic,
+                              count_K, eta, p)
+    if opt.admixture:
+        from multiclust_tpu.model.admixture import posterior_allele_mass
+        dik = np.asarray(posterior_allele_mass(params, md))
+        writers.write_popq(opt, ds, K, dik / (ds.ploidy * ds.L))
+        writers.write_indivq(
+            opt, ds, K, writers.admixture_indivq_mass(opt, ds, eta, dik))
+    else:
+        from multiclust_tpu.model.mixture import e_step
+        v = np.asarray(e_step(params, md)[0])
+        writers.write_popq(opt, ds, K, v)
+        writers.write_indivq(opt, ds, K, v)
+
+
+def print_model_state(opt: Options, ds, mres, diff: float,
+                      newline: bool = True) -> None:
+    """print_model_state (multiclust.c:718-791), compact form."""
+    out = sys.stdout
+    if opt.compact:
+        out.write("%s %s %s %d %u %e %e %e %e %f %f %f " % (
+            opt.filename, opt.accel_abbreviation,
+            "admix" if opt.admixture else "mix", mres.K, opt.seed,
+            opt.eta_lower_bound, opt.p_lower_bound,
+            opt.abs_error, opt.rel_error,
+            mres.max_logL, mres.aic, mres.bic))
+        out.write("%f " % mres.arand if opt.afile else "ND ")
+        d = int(diff)
+        out.write("%s %02d:%02d:%02d %d %d %d %d" % (
+            "converged" if mres.ever_converged else "not",
+            d // 3600, (d % 3600) // 60, d % 60,
+            mres.n_total_iter, mres.n_init, mres.n_maxll_init,
+            mres.n_maxll_times))
+        if opt.target_ll:
+            out.write(" %f %d %d" % (opt.desired_ll, mres.n_targetll_init,
+                                     mres.n_targetll_times))
+        if mres.time_stop:
+            out.write(" time")
+        if newline:
+            out.write("\n")
+    else:
+        out.write(f"Dataset: {opt.filename}\n")
+        out.write(f"Method/Model: {opt.accel_abbreviation}, "
+                  f"{'admix' if opt.admixture else 'mix'}, K={mres.K}\n")
+        out.write(f"Maximum log likelihood: {mres.max_logL:f}\n")
+        out.write(f"AIC: {mres.aic:f}\nBIC: {mres.bic:f}\n")
+        out.write("Converged: %s\n" %
+                  ("yes" if mres.ever_converged else "no"))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,183 @@
+"""Output writers (write_file.c) - byte-format-compatible where sane.
+
+Slot-index note: the reference's per-locus allele axis includes a leading
+MISSING slot when the locus has missing observations (uniquealleles[l] =
+observed + 1); our dense tensors index observed alleles only.  File output
+restores the reference indexing: slot 0 of a missing locus is emitted with
+probability 0.000000 (the reference prints uninitialized memory there -
+vpklm slot 0 is never written by the M-step, em_alg.c:711-746).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from multiclust_tpu.config import MISSING, Options, OutputFormat
+from multiclust_tpu.io.dataset import Dataset
+
+
+def _base(opt: Options, for_popq: bool = False) -> str:
+    """Output file base name (write_file_detail, write_file.c:211-233)."""
+    if opt.outfile_name is not None:
+        return opt.outfile_name
+    fname = os.path.basename(opt.filename) if opt.filename else "out"
+    path = opt.path or "./"
+    sep = "" if path.endswith(("/", "\\")) else "/"
+    return f"{path}{sep}{fname}"
+
+
+def _model_tag(opt: Options) -> str:
+    return "admix" if opt.admixture else "mix"
+
+
+def write_file_detail(opt: Options, ds: Dataset, K: int, logL: float,
+                      converged: bool, aic: float, bic: float,
+                      count_K: np.ndarray, eta: np.ndarray,
+                      p: np.ndarray) -> None:
+    """Per-K best-fit files (write_file_detail, write_file.c:203-335)."""
+    base = f"{_base(opt)}.{_model_tag(opt)}.K={K}"
+
+    with open(base + ".out.txt", "w") as fp:
+        fp.write("logL = %f (%s)\n" % (
+            logL, "converged" if converged else "not converged"))
+        fp.write("AIC = %f\n" % aic)
+        fp.write("BIC = %f\n\n" % bic)
+        fp.write("count.K\n")
+        fp.write("".join("%d " % c for c in count_K))
+        fp.write("\n\n")
+
+    if eta.ndim == 1:
+        with open(base + ".etak.txt", "w") as fp:
+            fp.write("i\tk\tetak\n")
+            for k in range(K):
+                fp.write("%d\t%f\n" % (k, eta[k]))
+            fp.write("\n")
+    else:
+        with open(base + ".etaik.txt", "w") as fp:
+            fp.write("i\tk\tetaik\n")
+            for i in range(eta.shape[0]):
+                for k in range(K):
+                    fp.write("%d\t%d\t%f\n" % (i, k, eta[i, k]))
+            fp.write("\n")
+
+    has_missing = ds.has_missing_slot
+    with open(base + ".pklm.txt", "w") as fp:
+        fp.write("k\tl\tm\tKLM\n")
+        for k in range(K):
+            for l in range(ds.L):
+                m_start = int(has_missing[l])
+                for m in range(ds.n_alleles[l] + m_start):
+                    val = 0.0 if m < m_start else p[k, l, m - m_start]
+                    fp.write("%d\t%d\t%d\t%f\n" % (k, l, m, val))
+        fp.write("\n")
+
+
+def write_popq(opt: Options, ds: Dataset, K: int, mass: np.ndarray) -> None:
+    """CLUMPP/DISTRUCT .popq (popq_admix write_file.c:398-475; popq_mix
+    :616-682).  ``mass[i, k]`` is the per-individual cluster weight: the
+    posterior v_ik for the mixture model, or dik/(ploidy*L) under admixture.
+    """
+    if opt.admixture:
+        name = f"{_base(opt)}_admix_popq_{K}.popq"
+    else:
+        name = f"{_base(opt)}_mix_popq.popq"
+    pops = ds.pops or ["pop0"]
+    locales = ds.locales if ds.locales is not None else \
+        np.zeros(ds.I, dtype=np.int64)
+    sizes = np.bincount(locales, minlength=len(pops))
+    agg = np.zeros((len(pops), K))
+    np.add.at(agg, locales, mass)
+    agg /= np.maximum(sizes, 1)[:, None]
+    with open(name, "w") as fp:
+        for n, pop in enumerate(pops):
+            fp.write("%s:\t" % pop)
+            fp.write("".join("%f\t" % v for v in agg[n]))
+            fp.write("%d\n" % sizes[n])
+
+
+def write_indivq(opt: Options, ds: Dataset, K: int,
+                 mass: np.ndarray) -> None:
+    """CLUMPP/DISTRUCT .indivq (indivq_admix write_file.c:492-569;
+    indivq_mix :696-732)."""
+    if opt.admixture:
+        name = f"{_base(opt)}_admix_indivq_{K}.indivq"
+    else:
+        name = f"{_base(opt)}.mix.K={K}.indivq"
+    pops = ds.pops or ["pop0"]
+    locales = ds.locales if ds.locales is not None else \
+        np.zeros(ds.I, dtype=np.int64)
+    names = ds.names or [str(i) for i in range(ds.I)]
+    with open(name, "w") as fp:
+        for i in range(ds.I):
+            fp.write("%d\t%s\t(x)\t%s\t:" % (i, names[i],
+                                             pops[locales[i]]))
+            fp.write("".join("\t%f" % v for v in mass[i]))
+            fp.write("\n")
+
+
+def admixture_indivq_mass(opt: Options, ds: Dataset, eta: np.ndarray,
+                          dik: np.ndarray) -> np.ndarray:
+    """indivq_admix source selection (write_file.c:525-550): posterior
+    allele fractions when eta is shared or data has missing entries, else
+    the fitted etaik."""
+    if opt.eta_constrained or ds.missing_data or eta.ndim == 1:
+        return dik / (ds.ploidy * ds.L)
+    return eta
+
+
+def write_data(opt: Options, ds: Dataset, outfile: Optional[str],
+               use_counts: bool = False) -> str:
+    """Write genotype data (write_data, write_file.c:22-130).
+
+    ``use_counts`` reconstructs haplotypes from the count tensor (bootstrap
+    replicates); copies are emitted missing-first then ascending alleles,
+    matching the reference's slot-order walk (write_file.c:104-122).
+    """
+    if outfile is None:
+        outfile = os.path.join(opt.path or "./", "bs.str")
+    fmt = opt.output_format
+    plus = 1 if (opt.write_plus_one or fmt == OutputFormat.PED) else 0
+    names = ds.names or [str(i) for i in range(ds.I)]
+    pops = ds.pops or ["0"]
+    locales = ds.locales if ds.locales is not None else \
+        np.zeros(ds.I, dtype=np.int64)
+
+    def hap_alleles(i, j):
+        if not use_counts:
+            return ds.IL[i * ds.ploidy + j]
+        row = np.empty(ds.L, dtype=np.int64)
+        for l in range(ds.L):
+            # j-th copy in slot order: missing copies first
+            c = j
+            if c < ds.miss[i, l]:
+                row[l] = MISSING
+                continue
+            c -= ds.miss[i, l]
+            m = 0
+            while c >= ds.counts[i, l, m]:
+                c -= ds.counts[i, l, m]
+                m += 1
+            row[l] = (ds.L_alleles[l][m] if ds.L_alleles is not None else m)
+        return row
+
+    with open(outfile, "w") as fp:
+        if fmt == OutputFormat.STRUCTURE:
+            fp.write(" ".join(f"loc{l + 1}" for l in range(ds.L)) + "\n")
+            for i in range(ds.I):
+                for j in range(ds.ploidy):
+                    fp.write("%s %s" % (names[i], pops[locales[i]]))
+                    fp.write("".join(" %d" % (a + plus)
+                                     for a in hap_alleles(i, j)))
+                    fp.write("\n")
+        else:  # PED
+            for i in range(ds.I):
+                fp.write("%s %s 0 0 0 -9" % (names[i], names[i]))
+                haps = [hap_alleles(i, j) for j in range(ds.ploidy)]
+                for l in range(ds.L):
+                    for j in range(ds.ploidy):
+                        fp.write(" %d" % (haps[j][l] + plus))
+                fp.write("\n")
+    return outfile

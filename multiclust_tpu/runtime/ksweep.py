@@ -1,0 +1,84 @@
+"""K-sweep and model selection (estimate_model, multiclust.c:365-452).
+
+Fits K = min_K..max_K (or just H0/Ha when bootstrapping: null_K = max_K - 1,
+alt_K = max_K, synchronize multiclust.c:874-877), tracks the AIC/BIC argmin
+over K, and records the likelihood-ratio test statistic for the bootstrap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+
+from multiclust_tpu.config import Options
+from multiclust_tpu.model.common import ModelData, Params
+from multiclust_tpu.runtime.multistart import MaximizeResult, \
+    maximize_likelihood
+
+
+@dataclasses.dataclass
+class EstimateResult:
+    per_K: Dict[int, MaximizeResult]
+    aic_K: int
+    bic_K: int
+    min_aic: float
+    max_logL: float            # of the largest / alternative K
+    max_logL_H0: float = -float("inf")
+    ts: float = 0.0            # logL(Ha) - logL(H0) when bootstrapping
+    h0_params: Optional[Params] = None
+    seconds: float = 0.0
+
+    @property
+    def last(self) -> MaximizeResult:
+        return self.per_K[max(self.per_K)]
+
+
+def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
+                   codes=None, warm=None, true_partition=None,
+                   bootstrap: bool = False,
+                   on_model_done=None) -> EstimateResult:
+    """``n_parameters_fn(K) -> int`` supplies the AIC/BIC parameter count."""
+    t0 = time.time()
+    if opt.n_bootstrap:
+        ks = [opt.max_K - 1, opt.max_K]
+    else:
+        ks = list(range(opt.min_K, opt.max_K + 1))
+
+    per_K: Dict[int, MaximizeResult] = {}
+    min_aic = min_bic = float("inf")
+    aic_K = bic_K = ks[0]
+    h0_params = None
+    max_logL_H0 = -float("inf")
+
+    for K in ks:
+        key, sub = jax.random.split(key)
+        res = maximize_likelihood(sub, md, K, opt, n_parameters_fn(K),
+                                  codes=codes, warm=warm,
+                                  true_partition=true_partition)
+        per_K[K] = res
+        if opt.n_bootstrap and K == ks[0]:
+            max_logL_H0 = res.max_logL
+            h0_params = res.best_params
+        if res.aic < min_aic:
+            min_aic, aic_K = res.aic, K
+        if res.bic < min_bic:
+            min_bic, bic_K = res.bic, K
+        if on_model_done:
+            on_model_done(K, res)
+
+    out = EstimateResult(per_K=per_K, aic_K=aic_K, bic_K=bic_K,
+                         min_aic=min_aic, max_logL=per_K[ks[-1]].max_logL,
+                         max_logL_H0=max_logL_H0, h0_params=h0_params,
+                         seconds=time.time() - t0)
+    if opt.n_bootstrap:
+        diff = out.max_logL - out.max_logL_H0
+        if diff <= 0:
+            raise RuntimeError(
+                "Null hypothesis likelihood exceeds alternative hypothesis "
+                "likelihood.  Try increasing number of initializations "
+                "(command-line option -n)")
+        out.ts = diff
+    return out

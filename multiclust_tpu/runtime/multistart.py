@@ -1,0 +1,289 @@
+"""Multi-start likelihood maximization.
+
+Replaces the reference's serial init loop (maximize_likelihood,
+multiclust.c:471-656) with BATCHES of vmapped EM chains: each round draws a
+batch of initializations from split PRNG keys, runs them to convergence in
+lockstep (stopped lanes frozen via the masked updates in opt/em.py), then
+replays the reference's bookkeeping over the batch in serial order so the
+four stop regimes keep their semantics:
+
+1. fixed count   (-n n_init)
+2. wall-clock    (-t minutes; checked between jitted segments)
+3. target logL   (-u l <ll>, optionally x times)
+4. revisit count (-u n <times> of the best logL)
+
+Batching may compute a few extra chains past the stopping init (parallel
+speculation); they are discarded, preserving reference-equivalent results
+while filling the chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiclust_tpu.config import AccelScheme, InitMethod, InitProcedure, \
+    Options
+from multiclust_tpu.init import random as rinit
+from multiclust_tpu.model.common import EMConfig, ModelData, Params
+from multiclust_tpu.model.likelihood import aic as aic_fn, bic as bic_fn
+from multiclust_tpu.opt import em as em_mod
+
+tree_map = jax.tree_util.tree_map
+
+
+def cfg_from_options(opt: Options, K: int) -> EMConfig:
+    return EMConfig(
+        admixture=opt.admixture, eta_constrained=opt.eta_constrained,
+        do_projection=opt.do_projection,
+        eta_lower_bound=opt.eta_lower_bound,
+        p_lower_bound=opt.p_lower_bound,
+        abs_error=opt.abs_error, rel_error=opt.rel_error,
+        max_iter=opt.max_iter, accel_scheme=int(opt.accel_scheme),
+        q=opt.q, n_init_iter=opt.n_init_iter, adjust_step=opt.adjust_step,
+        monotonicity=opt.monotonicity)
+
+
+@dataclasses.dataclass
+class MaximizeResult:
+    """Statistics across initializations (mirrors the _model fields kept
+    across inits, multiclust.h:337-355)."""
+
+    K: int
+    best_params: Optional[Params] = None
+    max_logL: float = -np.inf
+    first_max_logL: float = -np.inf
+    aic: float = np.inf
+    bic: float = np.inf
+    n_init: int = 0            # counted (converged) initializations
+    n_launched: int = 0        # chains actually computed (incl. speculative)
+    n_total_iter: int = 0
+    n_max_iter: int = 0
+    n_maxll_init: int = -1
+    n_maxll_times: int = 0
+    n_targetll_times: int = 0
+    n_targetll_init: int = 0
+    time_stop: bool = False
+    ever_converged: bool = False
+    any_failed: bool = False
+    mono_viol: bool = False
+    arand: float = 0.0
+    seconds: float = 0.0
+
+
+def _host_converged(opt: Options, a: float, b: float) -> bool:
+    """Host-side converged() (em_alg.c:163-182) for solution comparison."""
+    if not np.isfinite(b):
+        return False
+    abs_diff = abs(a - b)
+    keep = False
+    if opt.abs_error:
+        keep |= abs_diff > opt.abs_error
+    if opt.rel_error:
+        keep |= abs_diff / abs(b) > opt.rel_error
+    return not keep
+
+
+@functools.lru_cache(maxsize=64)
+def _batch_fns(cfg: EMConfig, segment: int):
+    accel = cfg.accel_scheme != int(AccelScheme.NONE)
+    body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
+
+    def prologue_one(state, md):
+        for _ in range(cfg.n_init_iter):
+            state = em_mod.plain_step(state, md, cfg)
+        if accel:
+            for _ in range(cfg.q - 1):
+                state = em_mod.two_em_steps(state, md, cfg)[0]
+        return state
+
+    def seg_one(state, md):
+        return jax.lax.fori_loop(
+            0, segment, lambda i, s: body(s, md, cfg), state)
+
+    def init_one(params, md):
+        return em_mod.init_state(params, cfg)
+
+    prologue = jax.jit(jax.vmap(prologue_one, in_axes=(0, None)),
+                       donate_argnums=0)
+    seg = jax.jit(jax.vmap(seg_one, in_axes=(0, None)), donate_argnums=0)
+    mk_state = jax.jit(jax.vmap(init_one, in_axes=(0, None)))
+    k1 = jax.jit(lambda p, md: em_mod.fit_k1(p, md, cfg))
+    return prologue, seg, mk_state, k1
+
+
+def fit_batch(params_b: Params, md: ModelData, cfg: EMConfig, *,
+              segment: int = 16, n_seconds: float = 0.0,
+              start_time: Optional[float] = None):
+    """Run a batch of chains to convergence; returns (EMState batch,
+    timed_out)."""
+    prologue, seg, mk_state, _ = _batch_fns(cfg, segment)
+    t0 = time.time() if start_time is None else start_time
+    state = mk_state(params_b, md)
+    if cfg.n_init_iter or cfg.accel_scheme != int(AccelScheme.NONE):
+        state = prologue(state, md)
+    timed_out = False
+    while True:
+        stopped = np.asarray(state.stopped)
+        if stopped.all():
+            break
+        if n_seconds and (time.time() - t0) > n_seconds:
+            timed_out = True
+            break
+        state = seg(state, md)
+    return state, timed_out
+
+
+def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
+                      opt: Options, codes, warm: Optional[Params]):
+    if warm is not None:
+        # -Q/-P warm start: every init identical (initialize_model,
+        # rnd_init.c:74-76)
+        return tree_map(lambda x: jnp.broadcast_to(x[None], (1,) + x.shape),
+                        warm), 1
+
+    B = opt.batch_chains or min(max(opt.n_init, 1), 8)
+    keys = jax.random.split(key, B)
+    init_fn = functools.partial(
+        rinit.initialize, md=md, K=K, cfg=cfg,
+        method=opt.initialization_method,
+        procedure=opt.initialization_procedure,
+        n_rand_em_init=opt.n_rand_em_init, codes=codes)
+    return jax.vmap(lambda k: init_fn(k))(keys), B
+
+
+def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
+                        n_parameters: int,
+                        codes=None, warm: Optional[Params] = None,
+                        true_partition=None) -> MaximizeResult:
+    """Maximize over initializations (maximize_likelihood,
+    multiclust.c:471-656)."""
+    cfg = cfg_from_options(opt, K)
+    res = MaximizeResult(K=K)
+    t0 = time.time()
+
+    if K == 1:
+        _, _, _, k1 = _batch_fns(cfg, 16)
+        params = _single_init(key, md, K, cfg, opt, codes, warm)
+        state = k1(params, md)
+        ll = float(state.logL_hi + state.logL_lo)
+        res.best_params = state.params
+        res.max_logL = res.first_max_logL = ll
+        res.aic = aic_fn(ll, n_parameters)
+        res.bic = bic_fn(ll, n_parameters, md.I)
+        res.n_init = res.n_launched = 1
+        res.n_total_iter = res.n_max_iter = 1
+        res.n_maxll_init = 1
+        res.n_maxll_times = 1
+        res.ever_converged = True
+        res.seconds = time.time() - t0
+        _score_arand(res, md, opt, true_partition)
+        return res
+
+    done = False
+    while not done:
+        key, sub = jax.random.split(key)
+        params_b, B = _initialize_batch(sub, md, K, cfg, opt, codes, warm)
+        states, timed_out = fit_batch(
+            params_b, md, cfg, n_seconds=opt.n_seconds, start_time=t0)
+
+        lls = np.asarray(states.logL_hi + states.logL_lo)
+        convs = np.asarray(states.converged)
+        iters = np.asarray(states.n_iter)
+        faileds = np.asarray(states.failed)
+        monos = np.asarray(states.mono_viol)
+
+        for lane in range(B):
+            res.n_launched += 1
+            ll = float(lls[lane])
+            conv = bool(convs[lane])
+            res.any_failed |= bool(faileds[lane])
+            res.mono_viol |= bool(monos[lane])
+            if conv:
+                res.ever_converged = True
+            # iteration stats (multiclust.c:538-543)
+            if conv or (res.n_init == 0 and timed_out):
+                res.n_total_iter += int(iters[lane])
+                res.n_max_iter = max(res.n_max_iter, int(iters[lane]))
+                res.n_init += 1
+            # same-solution bookkeeping (multiclust.c:546-554)
+            if conv and _host_converged(opt, ll, res.first_max_logL):
+                res.n_maxll_times += 1
+            elif conv and ll > res.first_max_logL:
+                res.n_maxll_times = 1
+                res.first_max_logL = ll
+                res.n_maxll_init = res.n_init
+            # better solution (multiclust.c:557-560)
+            if ll > res.max_logL and np.isfinite(ll):
+                res.max_logL = ll
+                res.aic = aic_fn(ll, n_parameters)
+                res.bic = bic_fn(ll, n_parameters, md.I)
+                res.best_params = tree_map(lambda t: t[lane], states.params)
+
+            # stop regimes (multiclust.c:629-652)
+            if timed_out:
+                res.time_stop = True
+                done = True
+                break
+            if (opt.target_revisit and not opt.target_ll
+                    and res.n_maxll_times >= opt.target_revisit):
+                done = True
+                break
+            if opt.target_ll and (ll > opt.desired_ll or
+                                  _host_converged(opt, ll, opt.desired_ll)):
+                if not res.n_targetll_times:
+                    res.n_targetll_init = res.n_init
+                res.n_targetll_times += 1
+                if (not opt.target_revisit
+                        or opt.target_revisit <= res.n_targetll_times):
+                    done = True
+                    break
+            if (not opt.target_revisit and not opt.target_ll
+                    and not opt.n_seconds and res.n_launched >= opt.n_init):
+                done = True
+                break
+        if warm is not None and not done:
+            # warm starts are deterministic; more batches are pointless
+            # unless a count/target regime explicitly asks for them
+            if not (opt.target_revisit or opt.target_ll or opt.n_seconds):
+                if res.n_launched >= opt.n_init:
+                    done = True
+
+    res.seconds = time.time() - t0
+    _score_arand(res, md, opt, true_partition)
+    return res
+
+
+def _single_init(key, md, K, cfg, opt, codes, warm):
+    if warm is not None:
+        return warm
+    return rinit.initialize(
+        key, md, K, cfg, method=opt.initialization_method,
+        procedure=opt.initialization_procedure,
+        n_rand_em_init=opt.n_rand_em_init, codes=codes)
+
+
+def hard_partition(params: Params, md: ModelData, admixture: bool):
+    """MAP cluster per individual (partition_mixture write_file.c:582-600;
+    partition_admixture :350-382)."""
+    if admixture:
+        from multiclust_tpu.model.admixture import posterior_allele_mass
+        dik = posterior_allele_mass(params, md)
+        return np.asarray(jnp.argmax(dik, axis=1))
+    from multiclust_tpu.model.mixture import e_step
+    v, _, _ = e_step(params, md)
+    return np.asarray(jnp.argmax(v, axis=1))
+
+
+def _score_arand(res: MaximizeResult, md, opt: Options, true_partition):
+    if true_partition is None or res.best_params is None:
+        return
+    from multiclust_tpu.stats.rand_index import adjusted_rand
+    assign = hard_partition(res.best_params, md, opt.admixture)
+    res.arand = adjusted_rand(np.asarray(true_partition), assign)

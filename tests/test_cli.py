@@ -1,0 +1,149 @@
+"""End-to-end CLI tests (reference-compatible flag surface)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multiclust_tpu.cli import main, parse_args, UsageError
+
+
+@pytest.fixture
+def toy_file(tmp_path, rng):
+    from multiclust_tpu.stats.sim import simulate_mixture
+    P = rng.dirichlet(np.full(3, 0.2), size=(3, 30))
+    eta = np.array([0.3, 0.3, 0.4])
+    ds, z = simulate_mixture(rng, eta, P, I=60, ploidy=2, missing_rate=0.05)
+    path = tmp_path / "toy.str"
+    with open(path, "w") as fh:
+        fh.write(" ".join(f"loc{l}" for l in range(ds.L)) + "\n")
+        for i in range(ds.I):
+            for a in range(2):
+                fh.write(f"ind{i} pop{i % 2} "
+                         + " ".join(map(str, ds.IL[i * 2 + a])) + "\n")
+    afile = tmp_path / "truth.txt"
+    np.savetxt(afile, z + 1, fmt="%d")
+    return str(path), str(afile), z
+
+
+def test_parse_args_surface():
+    opt = parse_args(["-f", "x.str", "-a", "-k", "4", "-n", "10",
+                      "-s", "6", "-g", "5", "-c", "--bound", "1e-6",
+                      "-m", "25", "-e", "1e-8", "-E", "1e-3",
+                      "--projection", "-r", "99", "-p", "4"])
+    assert opt.admixture and opt.eta_constrained
+    assert opt.min_K == opt.max_K == 4
+    assert opt.n_init == 10 and opt.n_rand_em_init == 25
+    assert int(opt.accel_scheme) == 6      # resolved to QN q=3 later
+    assert opt.adjust_step == 5
+    assert opt.lower_bound == 1e-6
+    assert opt.rel_error == 1e-8 and opt.abs_error == 1e-3
+    assert not opt.do_projection
+    assert opt.seed == 99 and opt.ploidy == 4
+    sync = opt.synchronize(100, 4)
+    assert int(sync.accel_scheme) == 4 and sync.q == 3
+    assert sync.adjust_step == 0
+
+
+def test_parse_args_errors():
+    with pytest.raises(SystemExit):
+        parse_args([])                     # no -f
+    with pytest.raises(SystemExit):
+        parse_args(["-f"])                 # missing argument
+    with pytest.raises(SystemExit):
+        parse_args(["-f", "x", "-Z"])      # unknown flag
+    with pytest.raises(SystemExit):
+        parse_args(["-f", "x", "--format", "xml"])
+
+
+def test_cli_mixture_fit(toy_file, tmp_path, capsys):
+    path, afile, z = toy_file
+    rc = main(["-f", path, "-k", "3", "-n", "3", "-d", str(tmp_path),
+               "-A", afile, "-r", "42"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mix 3" in out
+    # output files exist with reference naming
+    base = os.path.join(str(tmp_path), "toy.str")
+    assert os.path.exists(base + ".mix.K=3.out.txt")
+    assert os.path.exists(base + ".mix.K=3.etak.txt")
+    assert os.path.exists(base + ".mix.K=3.pklm.txt")
+    assert os.path.exists(base + "_mix_popq.popq")
+    assert os.path.exists(base + ".mix.K=3.indivq")
+    text = open(base + ".mix.K=3.out.txt").read()
+    assert "logL = " in text and "AIC = " in text and "count.K" in text
+    # adjusted Rand on well-separated data should be near-perfect
+    arand = float(out.split()[12])
+    assert arand > 0.9
+
+
+def test_cli_admixture_ksweep(toy_file, tmp_path, capsys):
+    path, afile, _ = toy_file
+    rc = main(["-f", path, "-1", "1", "-2", "3", "-n", "2", "-a",
+               "-d", str(tmp_path), "-r", "7", "-s", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == 3   # one compact line per K
+    assert all(" admix " in ln for ln in out.strip().splitlines())
+    for K in (1, 2, 3):
+        assert os.path.exists(
+            os.path.join(str(tmp_path), f"toy.str.admix.K={K}.out.txt"))
+        assert os.path.exists(
+            os.path.join(str(tmp_path), f"toy.str_admix_popq_{K}.popq"))
+    # logL must increase with K
+    lls = [float(line.split()[9]) for line in out.strip().splitlines()]
+    assert lls[0] < lls[1] < lls[2]
+
+
+def test_cli_parallel_mode(toy_file, tmp_path, capsys):
+    path, _, _ = toy_file
+    rc = main(["-f", path, "-k", "2", "-n", "2", "-M",
+               "-d", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    float(out[-1])                         # last line is max_logL
+
+
+def test_cli_simulate_roundtrip(tmp_path, rng):
+    K, L, I = 2, 15, 20
+    Q = rng.dirichlet(np.full(K, 2.0), size=I)
+    p0 = rng.uniform(0.2, 0.8, size=(L, K))
+    qf, pf, of = (str(tmp_path / n) for n in ("q.txt", "p.txt", "sim.str"))
+    np.savetxt(qf, Q, fmt="%.8f")
+    np.savetxt(pf, p0, fmt="%.8f")
+    rc = main(["--simulate", qf, pf, of, "-r", "5"])
+    assert rc == 0
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.io.structure import read_structure
+    ds = read_structure(of, Options(ploidy=2))
+    assert ds.I == I and ds.L == L
+
+
+def test_cli_bootstrap(toy_file, tmp_path, capsys):
+    path, _, _ = toy_file
+    rc = main(["-f", path, "-k", "2", "-n", "1", "-b", "3",
+               "-d", str(tmp_path), "-r", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "p-value to reject H0: K=1" in out
+    assert "Bootstrap dataset 3 (of 3)" in out
+
+
+def test_cli_timing_harness(toy_file, tmp_path, capsys):
+    path, _, _ = toy_file
+    rc = main(["-f", path, "-k", "2", "-n", "1", "-w", "n", "2",
+               "-d", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Number of repetitions: 2 of 2" in out
+    assert "Average log likelihood:" in out
+
+
+def test_cli_target_regimes(toy_file, tmp_path, capsys):
+    path, _, _ = toy_file
+    # revisit-count stop: run until the best logL is seen twice
+    rc = main(["-f", path, "-k", "2", "-u", "n", "2",
+               "-d", str(tmp_path), "-r", "11"])
+    assert rc == 0
+    out = capsys.readouterr().out.split()
+    assert int(out[16]) >= 2               # n_maxll_times column

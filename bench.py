@@ -1,0 +1,157 @@
+"""Benchmark: admixture EM throughput vs the C reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: genotype-cells/sec/chip for the admixture EM sweep at K=20
+(BASELINE.md).  A "cell" is one (individual, locus, allele) entry of the
+dense sufficient-statistics tensor touched per EM iteration (= I*L*M).
+
+Baseline: the compiled reference binary's EM throughput on the same model
+family, measured via its own iteration counter on a scaled-down dataset
+(the reference is single-threaded C; its per-cell rate is size-independent
+once out of cache).  vs_baseline = ours / reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REF_SRC = "/root/reference"
+REF_BUILD = "/tmp/refbuild"
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_ref_cache.json")
+
+
+def our_throughput(I=16384, L=2048, M=2, K=20, steps=100, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multiclust_tpu.model.admixture import em_step
+    from multiclust_tpu.model.common import EMConfig, ModelData, Params
+
+    cfg = EMConfig(admixture=True)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    ploidy = 2
+    # synthetic genotypes straight on device
+    draws = jax.random.randint(k1, (I, L, ploidy), 0, M)
+    counts = jnp.zeros((I, L, M), jnp.float32)
+    for a in range(ploidy):
+        counts = counts + jax.nn.one_hot(draws[:, :, a], M,
+                                         dtype=jnp.float32)
+    md = ModelData(x=counts, miss=jnp.zeros((I, L), jnp.float32),
+                   mask=jnp.ones((L, M), bool),
+                   n_alleles=jnp.full((L,), M, jnp.int32))
+    eta = jax.random.dirichlet(k2, jnp.full((K,), 2.0), (I,))
+    p = jax.random.dirichlet(k3, jnp.full((M,), 1.0), (K, L))
+    params = Params(eta=eta.astype(jnp.float32), p=p.astype(jnp.float32))
+
+    # pass md as an argument: closing over it would embed the genotype
+    # tensor as an HLO constant (huge programs; the axon remote-compile
+    # relay rejects them with HTTP 413)
+    @jax.jit
+    def run(params, md):
+        def body(_, p):
+            new, _, _ = em_step(p, md, cfg)
+            return new
+        return jax.lax.fori_loop(0, steps, body, params)
+
+    # Through the remote-execution tunnel block_until_ready can return
+    # before the computation finishes; force completion with a scalar
+    # device->host fetch (costs ~30ms, amortized over `steps`).
+    float(run(params, md).p[0, 0, 0])            # compile + warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(params, md).p[0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    iters_per_sec = steps / best
+    return {
+        "I": I, "L": L, "M": M, "K": K,
+        "iters_per_sec": iters_per_sec,
+        "cells_per_sec": I * L * M * iters_per_sec,
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def reference_throughput(I=200, L=500, K=20, max_iter=100):
+    """Measure the reference binary's admixture EM cells/sec."""
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as fh:
+                return json.load(fh)
+        except Exception:
+            pass
+    binary = os.path.join(REF_BUILD, "multiclust")
+    if not os.path.exists(binary):
+        os.makedirs(REF_BUILD, exist_ok=True)
+        for f in os.listdir(REF_SRC):
+            if f.endswith((".c", ".h")) or f == "makefile":
+                shutil.copy(os.path.join(REF_SRC, f), REF_BUILD)
+        subprocess.run(["make"], cwd=REF_BUILD, check=True,
+                       capture_output=True)
+
+    # biallelic STRUCTURE file
+    rng = np.random.default_rng(0)
+    data = os.path.join(REF_BUILD, "bench.str")
+    with open(data, "w") as fh:
+        fh.write(" ".join(f"l{i}" for i in range(L)) + "\n")
+        for i in range(I):
+            for a in range(2):
+                fh.write(f"i{i} p0 "
+                         + " ".join(map(str, rng.integers(0, 2, L))) + "\n")
+
+    # count per-iteration trace lines (verbosity > MINIMAL prints one per
+    # EM iteration, stop() em_alg.c:123-136) and time the whole run; EM
+    # iterations dominate the wall clock at -T 100
+    t0 = time.perf_counter()
+    out = subprocess.run(
+        [binary, "-f", "bench.str", "-a", "-k", str(K), "-n", "1",
+         "-m", "0", "-T", str(max_iter), "-w", "n", "1", "-v", "4"],
+        cwd=REF_BUILD, capture_output=True, text=True, timeout=600)
+    secs = time.perf_counter() - t0
+    iters = len(re.findall(r"^ *\d+ \(", out.stderr, re.M))
+    if iters == 0:
+        raise RuntimeError("no iteration trace found in reference output")
+    cells = I * L * 2  # T = sum_l M_l = 2L for biallelic
+    result = {"I": I, "L": L, "K": K, "iters": iters, "seconds": secs,
+              "cells_per_sec": cells * iters / secs}
+    with open(CACHE, "w") as fh:
+        json.dump(result, fh)
+    return result
+
+
+def main():
+    size = os.environ.get("BENCH_SIZE", "full")
+    if size == "small":
+        ours = our_throughput(I=2048, L=512, steps=10, repeats=2)
+    else:
+        ours = our_throughput()
+    try:
+        ref = reference_throughput()
+        vs = ours["cells_per_sec"] / ref["cells_per_sec"]
+    except Exception as e:
+        print(f"# reference baseline unavailable: {e}", file=sys.stderr)
+        ref = None
+        vs = 0.0
+    print(json.dumps({
+        "metric": "admixture EM genotype-cells/sec/chip (K=20)",
+        "value": round(ours["cells_per_sec"], 1),
+        "unit": "cells/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

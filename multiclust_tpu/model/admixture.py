@@ -79,7 +79,11 @@ def _em_step_unconstrained(params, md, cfg):
     A = w @ p2.T                                      # [I, K]  (MXU)
     c = jnp.sum(md.miss, axis=1, keepdims=True)       # [I, 1]
     eta_num = eta * (A + c)
-    eta_new = eta_num / jnp.sum(eta_num, axis=1, keepdims=True)
+    tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
+    # padding rows (zero counts, zero missing) have zero mass; keep their
+    # eta unchanged instead of 0/0
+    eta_new = jnp.where(tot_eta > 0,
+                        eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0), eta)
     if cfg.do_projection:
         eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
                                cfg.eta_lower_bound)

@@ -30,12 +30,19 @@ class Params(NamedTuple):
 
 
 class ModelData(NamedTuple):
-    """Device-side genotype tensors consumed by E/M steps."""
+    """Device-side genotype tensors consumed by E/M steps.
+
+    ``row_valid`` marks real individuals (None = all); padding rows added
+    for mesh shardability are excluded from mixture posterior mass and
+    per-individual logL (admixture padding rows are inert by construction:
+    zero counts and zero missing contribute nothing to any reduction).
+    """
 
     x: Array          # [I, L, M] observed counts, compute dtype
     miss: Array       # [I, L] missing-copy counts, compute dtype
     mask: Array       # [L, M] bool valid allele lanes
     n_alleles: Array  # [L] int32 valid lanes per locus
+    row_valid: Optional[Array] = None  # [I] bool or None
 
     @property
     def I(self) -> int:  # noqa: E743

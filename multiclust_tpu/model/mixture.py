@@ -36,12 +36,15 @@ def scores(params: Params, md: ModelData) -> Array:
     return s + safe_log(params.eta)[None, :]
 
 
-def _posterior_and_ll(s: Array):
+def _posterior_and_ll(s: Array, row_valid=None):
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     tot = jnp.sum(e, axis=1, keepdims=True)
     v = e / tot
     per_i = jnp.log(tot[:, 0]) + m[:, 0]              # [I]
+    if row_valid is not None:
+        v = jnp.where(row_valid[:, None], v, 0.0)
+        per_i = jnp.where(row_valid, per_i, 0.0)
     ll = df64.df_sum(per_i)
     # f32 elementwise-rounding noise scale for convergence floors: the terms
     # all share sign, so sum|per_i| ~ |logL|; use the RMS-based estimate.
@@ -51,12 +54,12 @@ def _posterior_and_ll(s: Array):
 
 def e_step(params: Params, md: ModelData):
     """Posterior v[I,K] plus df64 log likelihood of the input params."""
-    return _posterior_and_ll(scores(params, md))
+    return _posterior_and_ll(scores(params, md), md.row_valid)
 
 
 def log_likelihood(params: Params, md: ModelData):
     """df64 logL (logL_mixture) without materializing the posterior."""
-    _, ll, scale = _posterior_and_ll(scores(params, md))
+    _, ll, scale = _posterior_and_ll(scores(params, md), md.row_valid)
     return ll, scale
 
 

@@ -1,0 +1,104 @@
+"""Device mesh and sharding layout.
+
+The scaling axes of this model family (SURVEY.md section 2.3) are:
+
+* ``data``  - individuals (I).  The E-step is embarrassingly parallel over
+  i; M-step expected-count merges are sum-reductions over i that XLA lowers
+  to psum over this axis.
+* ``model`` - loci (L), the tensor-parallel analog for biobank-scale L.
+  Per-locus normalizations and projections are local to an L shard; the
+  per-individual reductions over loci psum over this axis.
+
+Parameters: allele frequencies p[K, L, M] are sharded over loci and
+replicated over data; mixture/constrained eta [K] is replicated; admixture
+eta [I, K] is sharded over data.  All collectives are inserted by XLA/GSPMD
+from these placements - no hand-written psums (the "pick a mesh, annotate
+shardings, let XLA insert collectives" recipe).
+
+There is no pipeline, sequence, or expert axis: loci are i.i.d. (no
+sequence dimension) and the model has no layered structure - the honest
+mapping is 2D dp x tp.  Multi-start chains and bootstrap replicates batch
+along a vmapped leading axis within each data shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multiclust_tpu.model.common import ModelData, Params
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              devices=None) -> Mesh:
+    """Create a (data, model) mesh; default puts every device on data."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_specs(has_row_valid: bool = False) -> ModelData:
+    """PartitionSpecs for ModelData leaves."""
+    return ModelData(
+        x=P(DATA_AXIS, MODEL_AXIS, None),
+        miss=P(DATA_AXIS, MODEL_AXIS),
+        mask=P(MODEL_AXIS, None),
+        n_alleles=P(MODEL_AXIS),
+        row_valid=P(DATA_AXIS) if has_row_valid else None,
+    )
+
+
+def param_specs(per_individual_eta: bool) -> Params:
+    return Params(
+        eta=P(DATA_AXIS, None) if per_individual_eta else P(),
+        p=P(None, MODEL_AXIS, None),
+    )
+
+
+def shard_model_data(md: ModelData, mesh: Mesh) -> ModelData:
+    specs = data_specs(md.row_valid is not None)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), md, specs)
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    specs = param_specs(params.eta.ndim == 2)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def shardable_sizes(I: int, L: int, mesh: Mesh) -> Tuple[int, int]:
+    """Round (I, L) up to multiples of the mesh axes (padding individuals
+    with zero-count rows and loci with fully-masked columns is loss-free:
+    zero rows contribute nothing to reductions, masked loci carry no
+    probability mass)."""
+    dd = mesh.shape[DATA_AXIS]
+    mm = mesh.shape[MODEL_AXIS]
+    return (-(-I // dd) * dd, -(-L // mm) * mm)
+
+
+def pad_dataset_arrays(counts, miss, n_alleles, I_pad: int, L_pad: int):
+    """Zero-pad host arrays to shardable sizes; padded loci get
+    n_alleles=0 so every mask lane is off."""
+    I, L, M = counts.shape
+    if I_pad == I and L_pad == L:
+        return counts, miss, n_alleles
+    c = np.zeros((I_pad, L_pad, M), counts.dtype)
+    c[:I, :L] = counts
+    m = np.zeros((I_pad, L_pad), miss.dtype)
+    m[:I, :L] = miss
+    na = np.zeros((L_pad,), n_alleles.dtype)
+    na[:L] = n_alleles
+    return c, m, na

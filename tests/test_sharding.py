@@ -1,0 +1,143 @@
+"""Multi-chip sharding: shard-invariance on a virtual 8-device CPU mesh.
+
+SURVEY.md section 4: the sharded psum-merged E/M step must equal the
+single-device step (tolerance for reduction-order differences).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiclust_tpu.model import admixture, mixture
+from multiclust_tpu.model.common import EMConfig, ModelData, Params, \
+    model_data_from_dataset
+from multiclust_tpu.ops import df64
+from multiclust_tpu.runtime import mesh as mesh_mod
+from multiclust_tpu.stats.sim import random_model, simulate_admixture_fast
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(99)
+    Q, P = random_model(rng, 4, 16, 3, I=64)
+    ds = simulate_admixture_fast(rng, Q, P, ploidy=2, missing_rate=0.1)
+    return ds
+
+
+def make_params(rng, K, ds, per_individual):
+    mask = ds.mask
+    p = rng.random((K, ds.L, ds.M)) + 0.1
+    p = np.where(mask[None], p, 0.0)
+    p = p / p.sum(axis=2, keepdims=True)
+    if per_individual:
+        eta = rng.dirichlet(np.full(K, 2.0), size=ds.I)
+    else:
+        eta = rng.dirichlet(np.full(K, 2.0))
+    return Params(eta=jnp.asarray(eta, jnp.float64),
+                  p=jnp.asarray(p, jnp.float64))
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("admix", [True, False])
+def test_em_step_shard_invariance(data, shape, admix):
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(5)
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    params = make_params(rng, 4, ds, per_individual=admix)
+    cfg = EMConfig(admixture=admix, eta_lower_bound=1e-8,
+                   p_lower_bound=1e-8)
+
+    step = (admixture.em_step if admix
+            else lambda p, m, c: mixture.em_step(p, m, c)[:3])
+    ref_params, ref_ll, _ = jax.jit(step, static_argnums=2)(params, md, cfg)
+
+    m = mesh_mod.make_mesh(shape)
+    md_s = mesh_mod.shard_model_data(md, m)
+    params_s = mesh_mod.shard_params(params, m)
+    out_params, out_ll, _ = jax.jit(step, static_argnums=2)(
+        params_s, md_s, cfg)
+
+    np.testing.assert_allclose(np.asarray(out_params.p),
+                               np.asarray(ref_params.p), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_params.eta),
+                               np.asarray(ref_params.eta), atol=1e-12)
+    assert abs(float(df64.df_value(out_ll))
+               - float(df64.df_value(ref_ll))) < 1e-8
+
+
+def test_sharded_full_fit_matches(data):
+    """A compiled fit on a 4x2 mesh equals the single-device fit."""
+    from multiclust_tpu.opt.driver import make_compiled_fit
+    rng = np.random.default_rng(6)
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    params = make_params(rng, 3, ds, per_individual=True)
+    m = mesh_mod.make_mesh((4, 2))
+
+    # plain EM trajectories only differ by reduction order: tight bound
+    cfg = EMConfig(admixture=True)
+    fit_fn = make_compiled_fit(cfg)
+    ref = fit_fn(params, md)
+    out = jax.jit(fit_fn)(mesh_mod.shard_params(params, m),
+                          mesh_mod.shard_model_data(md, m))
+    assert bool(out.converged)
+    assert abs(float(out.logL_hi + out.logL_lo)
+               - float(ref.logL_hi + ref.logL_lo)) < 1e-6
+    np.testing.assert_allclose(np.asarray(out.params.p),
+                               np.asarray(ref.params.p), atol=1e-6)
+
+    # accelerated accept/backtrack flips on reduction order: same optimum
+    cfg = EMConfig(admixture=True, accel_scheme=1, adjust_step=5)
+    fit_fn = make_compiled_fit(cfg)
+    ref = fit_fn(params, md)
+    out = jax.jit(fit_fn)(mesh_mod.shard_params(params, m),
+                          mesh_mod.shard_model_data(md, m))
+    assert bool(out.converged)
+    assert abs(float(out.logL_hi + out.logL_lo)
+               - float(ref.logL_hi + ref.logL_lo)) < 2e-2
+
+
+def test_padded_rows_are_inert(data):
+    """Padding individuals/loci to shardable sizes must not change the
+    fit (mixture uses row_valid; admixture pads are inert)."""
+    rng = np.random.default_rng(7)
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+
+    I_pad, L_pad = ds.I + 5, ds.L + 3
+    c, mi, na = mesh_mod.pad_dataset_arrays(ds.counts, ds.miss,
+                                            ds.n_alleles, I_pad, L_pad)
+    row_valid = np.arange(I_pad) < ds.I
+    md_pad = ModelData(
+        x=jnp.asarray(c, jnp.float64), miss=jnp.asarray(mi, jnp.float64),
+        mask=jnp.asarray(np.arange(ds.M)[None] < na[:, None]),
+        n_alleles=jnp.asarray(na, jnp.int32),
+        row_valid=jnp.asarray(row_valid))
+
+    for admix in (True, False):
+        cfg = EMConfig(admixture=admix)
+        params = make_params(rng, 3, ds, per_individual=admix)
+        if admix:
+            eta_pad = np.full((I_pad, 3), 1.0 / 3)
+            eta_pad[:ds.I] = np.asarray(params.eta)
+            params_pad = Params(eta=jnp.asarray(eta_pad, jnp.float64),
+                                p=jnp.pad(params.p,
+                                          ((0, 0), (0, 3), (0, 0))))
+            new_p, ll_p, _ = admixture.em_step(params_pad, md_pad, cfg)
+            new_r, ll_r, _ = admixture.em_step(params, md, cfg)
+            np.testing.assert_allclose(np.asarray(new_p.eta)[:ds.I],
+                                       np.asarray(new_r.eta), atol=1e-12)
+        else:
+            params_pad = Params(eta=params.eta,
+                                p=jnp.pad(params.p,
+                                          ((0, 0), (0, 3), (0, 0))))
+            new_p, ll_p, _, _ = mixture.em_step(params_pad, md_pad, cfg)
+            new_r, ll_r, _, _ = mixture.em_step(params, md, cfg)
+            np.testing.assert_allclose(np.asarray(new_p.eta),
+                                       np.asarray(new_r.eta), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(new_p.p)[:, :ds.L],
+                                   np.asarray(new_r.p), atol=1e-12)
+        assert abs(float(df64.df_value(ll_p))
+                   - float(df64.df_value(ll_r))) < 1e-9

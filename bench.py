@@ -39,7 +39,9 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=100, repeats=3):
     from multiclust_tpu.model.admixture import em_step
     from multiclust_tpu.model.common import EMConfig, ModelData, Params
 
-    cfg = EMConfig(admixture=True)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    cfg = EMConfig(admixture=True,
+                   use_pallas="on" if use_pallas else "off")
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     ploidy = 2

@@ -58,6 +58,8 @@ def em_step(params: Params, md: ModelData,
     """One fused E+M iteration; logL is that of the INPUT params."""
     if cfg.eta_constrained:
         return _em_step_constrained(params, md, cfg)
+    if cfg.use_pallas != "off" and params.p.dtype == jnp.float32:
+        return _em_step_unconstrained_pallas(params, md, cfg)
     return _em_step_unconstrained(params, md, cfg)
 
 
@@ -94,6 +96,40 @@ def _em_step_unconstrained(params, md, cfg):
     pc = p * (B.reshape(K, md.L, md.M) + C[:, :, None])
     p_new = _normalize_p(pc, md, cfg)
 
+    return Params(eta=eta_new, p=p_new), ll, scale
+
+
+def _em_step_unconstrained_pallas(params, md, cfg):
+    """Pallas path: the [I, LM] denominators/weights never touch HBM
+    (ops/kernels.py); identical math to _em_step_unconstrained."""
+    from multiclust_tpu.ops.kernels import admixture_sweep_stats, \
+        pad_for_kernel
+
+    eta, p = params.eta, params.p
+    K = params.K
+    p2 = p.reshape(K, -1)
+    eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, md.x2d)
+    A_p, t_p, B_p = admixture_sweep_stats(
+        eta_p, p2_p, x2_p, interpret=(cfg.use_pallas == "interpret"))
+    A = A_p[:I, :K]
+    B = B_p[:K, :LM]
+    per_i = t_p[:I]
+
+    ll = df64.df_sum(per_i)
+    scale = jnp.sqrt(jnp.sum(per_i * per_i))
+
+    c = jnp.sum(md.miss, axis=1, keepdims=True)
+    eta_num = eta * (A + c)
+    tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
+    eta_new = jnp.where(tot_eta > 0,
+                        eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0), eta)
+    if cfg.do_projection:
+        eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
+                               cfg.eta_lower_bound)
+
+    C = eta.T @ md.miss
+    pc = p * (B.reshape(K, md.L, md.M) + C[:, :, None])
+    p_new = _normalize_p(pc, md, cfg)
     return Params(eta=eta_new, p=p_new), ll, scale
 
 

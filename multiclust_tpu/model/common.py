@@ -80,6 +80,9 @@ class EMConfig(NamedTuple):
     # multiplier on the f32 elementwise-rounding noise floor used to clamp
     # the convergence tolerance; see opt/em.py.
     noise_factor: float = 8.0
+    # fused Pallas sweep kernels for the admixture E+M (f32 only);
+    # "off", "on" (compiled), or "interpret" (CPU testing)
+    use_pallas: str = "off"
 
     @property
     def eta_is_vector(self) -> bool:

@@ -1,0 +1,142 @@
+"""Pallas TPU kernels: fused admixture E+M sweep.
+
+The XLA formulation (model/admixture.py) materializes denom = eta @ p and
+w = x / denom as [I, LM] HBM tensors, each written once and read twice -
+the EM step is HBM-bandwidth bound.  These kernels stream x through VMEM
+and recompute denom on the MXU inside each tile, so per sweep the only
+large HBM traffic is two reads of x (one per kernel):
+
+  kernel A (grid i-outer, l-inner):  per-individual statistics
+      A[i, k]  = sum_lm w_ilm p_klm          (-> eta update)
+      t[i]     = sum_lm x_ilm log denom_ilm  (-> log likelihood)
+  kernel B (grid l-outer, i-inner):  per-locus statistics
+      B[k, lm] = sum_i eta_ik w_ilm          (-> p update)
+
+Accumulator outputs are revisited only along the LAST grid dimension
+(consecutive visits), which is the Pallas TPU requirement for in-place
+block accumulation.  K is padded to a multiple of 128 lanes by the caller;
+zero-padded clusters contribute nothing.  This realizes the reference's own
+"combined E+M" analysis (em_alg.c:435-483: never materialize d_iklm) at
+tile granularity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _istats_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref):
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _():
+        a_ref[:] = jnp.zeros_like(a_ref)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    denom = jnp.dot(eta_ref[:], p_ref[:],
+                    preferred_element_type=jnp.float32)       # [TI, TL]
+    xb = x_ref[:].astype(jnp.float32)
+    pos = xb > 0
+    w = jnp.where(pos, xb / jnp.where(denom > 0, denom, 1.0), 0.0)
+    t = jnp.where(pos, xb * jnp.log(jnp.where(denom > 0, denom, 1.0)), 0.0)
+    a_ref[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
+    t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
+
+
+def _lstats_kernel(eta_ref, p_ref, x_ref, b_ref):
+    i_idx = pl.program_id(1)
+
+    @pl.when(i_idx == 0)
+    def _():
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    denom = jnp.dot(eta_ref[:], p_ref[:],
+                    preferred_element_type=jnp.float32)       # [TI, TL]
+    xb = x_ref[:].astype(jnp.float32)
+    w = jnp.where(xb > 0, xb / jnp.where(denom > 0, denom, 1.0), 0.0)
+    b_ref[:] += jnp.dot(eta_ref[:].T, w,
+                        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("ti", "tl", "interpret"))
+def admixture_sweep_stats(eta, p2, x2, *, ti: int = 256, tl: int = 512,
+                          interpret: bool = False):
+    """Fused sweep statistics.
+
+    Args:
+      eta: [I, Kp] admixture proportions, Kp a multiple of 128 (zero pad).
+      p2:  [Kp, LMp] allele frequencies, LMp a multiple of ``tl``.
+      x2:  [I, LMp] allele counts (padding columns zero).
+    Returns:
+      A [I, Kp], t [I] (per-individual logL terms), B [Kp, LMp].
+    """
+    I, Kp = eta.shape
+    LMp = p2.shape[1]
+    assert I % ti == 0 and LMp % tl == 0, (I, ti, LMp, tl)
+    n_i, n_l = I // ti, LMp // tl
+    f32 = jnp.float32
+
+    a_out, t_out = pl.pallas_call(
+        _istats_kernel,
+        grid=(n_i, n_l),
+        in_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((I, Kp), f32),
+            jax.ShapeDtypeStruct((I, 1), f32),
+        ],
+        interpret=interpret,
+    )(eta, p2, x2)
+
+    b_out = pl.pallas_call(
+        _lstats_kernel,
+        grid=(n_l, n_i),
+        in_specs=[
+            pl.BlockSpec((ti, Kp), lambda l, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tl), lambda l, i: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda l, i: (i, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Kp, tl), lambda l, i: (0, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Kp, LMp), f32),
+        interpret=interpret,
+    )(eta, p2, x2)
+
+    return a_out, t_out[:, 0], b_out
+
+
+def pad_for_kernel(eta, p2, x2, ti: int = 256, tl: int = 512):
+    """Zero-pad (I, K, LM) to kernel tile multiples; returns padded arrays
+    and the original sizes for slicing back."""
+    I, K = eta.shape
+    LM = p2.shape[1]
+    Ip, Kp, LMp = _round_up(I, ti), _round_up(K, 128), _round_up(LM, tl)
+    if (Ip, Kp, LMp) != (I, K, LM):
+        eta = jnp.pad(eta, ((0, Ip - I), (0, Kp - K)))
+        p2 = jnp.pad(p2, ((0, Kp - K), (0, LMp - LM)))
+        x2 = jnp.pad(x2, ((0, Ip - I), (0, LMp - LM)))
+    return eta, p2, x2, (I, K, LM)

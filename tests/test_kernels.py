@@ -1,0 +1,67 @@
+"""Pallas fused-sweep kernels vs the XLA reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiclust_tpu.model import admixture
+from multiclust_tpu.model.common import EMConfig, Params, \
+    model_data_from_dataset
+from multiclust_tpu.ops import df64
+from multiclust_tpu.ops.kernels import admixture_sweep_stats, pad_for_kernel
+from multiclust_tpu.stats.sim import random_model, simulate_admixture_fast
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    K = 3
+    Q, P = random_model(rng, K, 40, 3, I=70)
+    ds = simulate_admixture_fast(rng, Q, P, ploidy=2, missing_rate=0.1)
+    md = model_data_from_dataset(ds, dtype=jnp.float32)
+    eta = rng.dirichlet(np.full(K, 2.0), size=ds.I)
+    p = rng.random((K, ds.L, ds.M)) + 0.1
+    p = np.where(ds.mask[None], p, 0.0)
+    p = p / p.sum(axis=2, keepdims=True)
+    params = Params(eta=jnp.asarray(eta, jnp.float32),
+                    p=jnp.asarray(p, jnp.float32))
+    return ds, md, params
+
+
+def test_sweep_stats_match_xla(setup):
+    ds, md, params = setup
+    K = params.K
+    p2 = params.p.reshape(K, -1)
+    x2 = md.x2d
+    # XLA reference quantities
+    denom = params.eta @ p2
+    w = jnp.where(x2 > 0, x2 / denom, 0.0)
+    A_ref = w @ p2.T
+    B_ref = params.eta.T @ w
+    t_ref = jnp.sum(jnp.where(x2 > 0, x2 * jnp.log(denom), 0.0), axis=1)
+
+    eta_p, p2_p, x2_p, (I, Kk, LM) = pad_for_kernel(params.eta, p2, x2,
+                                                    ti=32, tl=128)
+    A, t, B = admixture_sweep_stats(eta_p, p2_p, x2_p, ti=32, tl=128,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(A[:I, :Kk]), np.asarray(A_ref),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(B[:Kk, :LM]), np.asarray(B_ref),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t[:I]), np.asarray(t_ref),
+                               rtol=2e-5, atol=5e-3)
+
+
+def test_pallas_em_step_matches_xla(setup):
+    ds, md, params = setup
+    cfg_x = EMConfig(admixture=True)
+    cfg_p = EMConfig(admixture=True, use_pallas="interpret")
+    new_x, ll_x, _ = admixture.em_step(params, md, cfg_x)
+    new_p, ll_p, _ = admixture.em_step(params, md, cfg_p)
+    np.testing.assert_allclose(np.asarray(new_p.eta), np.asarray(new_x.eta),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_p.p), np.asarray(new_x.p),
+                               rtol=1e-5, atol=1e-6)
+    assert abs(float(df64.df_value(ll_p)) - float(df64.df_value(ll_x))) \
+        < 5e-3

@@ -60,7 +60,10 @@ def parse_args(argv: List[str]) -> Options:
         elif a == "B":
             pass  # debug-only simplified loop in the reference (-B)
         elif a == "c":
-            opt.eta_constrained = True
+            if name.startswith("ch"):
+                opt.checkpoint_dir = _need(argv, i, arg); i += 1
+            else:
+                opt.eta_constrained = True
         elif a == "d":
             opt.path = _need(argv, i, arg); i += 1
         elif a == "e":
@@ -289,7 +292,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     est = estimate_model(key, md, opt, n_parameters, codes=codes,
                          warm=warm, true_partition=truth,
-                         on_model_done=on_model_done)
+                         on_model_done=on_model_done,
+                         checkpoint_dir=opt.checkpoint_dir)
 
     if opt.parallel:
         # -M: stdout carries only the max log likelihood

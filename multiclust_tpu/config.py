@@ -157,6 +157,7 @@ class Options:
     batch_chains: int = 0             # 0 = auto: vmap width for multi-start
     use_pallas: bool = False          # fused Pallas admixture kernel
     mesh_shape: Optional[tuple] = None  # (data_shards, loci_shards)
+    checkpoint_dir: Optional[str] = None  # --checkpoint: sweep persistence
     monotonicity: str = "warn"        # "fatal" (reference, em_alg.c:115-120),
                                       # "warn", or "off" - f32 needs slack
 

@@ -1,0 +1,97 @@
+"""ctypes bindings for the native STRUCTURE tokenizer (native/).
+
+Builds the shared object on first use when a toolchain is present; callers
+fall back to the pure-Python parser when unavailable (read_structure_raw
+handles the fallback - never a hard dependency).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_NATIVE_DIR, "_structure_reader.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+class _McParse(ctypes.Structure):
+    _fields_ = [
+        ("n_rows", ctypes.c_int64),
+        ("n_cols", ctypes.c_int64),
+        ("header_cols", ctypes.c_int64),
+        ("skipped_distances", ctypes.c_int32),
+        ("error", ctypes.c_int32),
+        ("err_msg", ctypes.c_char * 256),
+        ("data", ctypes.POINTER(ctypes.c_int64)),
+        ("blob", ctypes.POINTER(ctypes.c_char)),
+        ("blob_len", ctypes.c_int64),
+    ]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.mc_parse_structure.restype = ctypes.POINTER(_McParse)
+        lib.mc_parse_structure.argtypes = [ctypes.c_char_p]
+        lib.mc_free.argtypes = [ctypes.POINTER(_McParse)]
+        lib.mc_free.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_file(path: str) -> Tuple[int, List[str], List[str],
+                                   np.ndarray, bool]:
+    """Returns (header_cols, names, locales, data[n_rows, n_cols],
+    skipped_distance_line).  Raises on parse errors or when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native reader unavailable")
+    handle = lib.mc_parse_structure(path.encode())
+    if not handle:
+        raise MemoryError("mc_parse_structure failed")
+    try:
+        h = handle.contents
+        if h.error:
+            raise ValueError(h.err_msg.decode(errors="replace"))
+        n = int(h.n_rows) * int(h.n_cols)
+        data = np.ctypeslib.as_array(h.data, shape=(n,)).copy() \
+            .reshape(int(h.n_rows), int(h.n_cols)) \
+            if n else np.empty((0, 0), np.int64)
+        blob = ctypes.string_at(h.blob, h.blob_len) if h.blob_len else b""
+        toks = blob.split(b"\0")[:-1] if blob else []
+        names = [t.decode(errors="replace") for t in toks[0::2]]
+        locales = [t.decode(errors="replace") for t in toks[1::2]]
+        return (int(h.header_cols), names, locales, data,
+                bool(h.skipped_distances))
+    finally:
+        lib.mc_free(handle)

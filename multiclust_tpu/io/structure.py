@@ -16,11 +16,13 @@ Replicates the reference parser's behavior (read_file.c:38-300):
   (read_file.c:224-225, :263-264); a user-supplied ``missing_value`` is then
   remapped to the canonical MISSING=-9 (change_missing_value,
   read_file.c:411-429).
+
+Tokenizing/number parsing uses the native C++ reader (native/, loaded via
+io/fastread.py) when available, with a transparent pure-Python fallback.
 """
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -33,13 +35,44 @@ class StructureFormatError(ValueError):
     pass
 
 
-def _try_native_tokenize(path: str):
-    """Use the C++ fast reader if built; returns None to fall back."""
+def _parse_tokens_python(path: str):
+    """Pure-Python fallback matching the native reader's contract."""
+    with open(path, "r") as fh:
+        lines = [ln.split() for ln in fh if ln.strip()]
+    if not lines:
+        raise StructureFormatError(f"'{path}' is empty")
+    header_cols = len(lines[0])
+    body = lines[1:]
+    skipped = False
+    if body and body[0] and body[0][0] == "-1":
+        body = body[1:]
+        skipped = True
+    if not body:
+        raise StructureFormatError(f"'{path}' has no data rows")
+    names = [row[0] for row in body]
+    locales = [row[1] for row in body]
+    widths = {len(row) - 2 for row in body}
+    if len(widths) != 1:
+        raise StructureFormatError(f"ragged data rows in '{path}'")
     try:
-        from multiclust_tpu.io import fastread
-        return fastread.read_tokens(path)
-    except Exception:
-        return None
+        data = np.array([[int(v) for v in row[2:]] for row in body],
+                        dtype=np.int64)
+    except ValueError as e:
+        raise StructureFormatError(f"non-integer allele in '{path}': {e}")
+    return header_cols, names, locales, data, skipped
+
+
+def _parse_tokens(path: str, use_native: bool = True):
+    if use_native:
+        try:
+            from multiclust_tpu.io import fastread
+            if fastread.available():
+                return fastread.parse_file(path)
+        except (RuntimeError, MemoryError):
+            pass
+        except ValueError as e:
+            raise StructureFormatError(f"'{path}': {e}")
+    return _parse_tokens_python(path)
 
 
 def read_structure_raw(
@@ -48,89 +81,60 @@ def read_structure_raw(
     R_format: bool = False,
     one_plus: bool = False,
     missing_value: int = MISSING,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, List[str], np.ndarray, List[str]]:
     """Parse a STRUCTURE file into (IL, names, locales, pops).
 
     ``IL`` is the [I*ploidy, L] haplotype matrix with MISSING sentinels.
     """
-    with open(path, "r") as fh:
-        lines = [ln.split() for ln in fh if ln.strip()]
-    if not lines:
-        raise StructureFormatError(f"'{path}' is empty")
+    header_cols, row_names, row_locales, data, _ = _parse_tokens(
+        path, use_native)
+    L = header_cols - 2 if R_format else header_cols  # read_file.c:58-59
+    n_rows, D = data.shape
 
-    header = lines[0]
-    L = len(header)
-    if R_format:
-        L -= 2  # KLUDGE matching read_file.c:58-59
-    body = lines[1:]
-    if body and body[0] and body[0][0] == "-1":
-        body = body[1:]  # inter-marker distance line
-    if len(body) < 1:
-        raise StructureFormatError(f"'{path}' has no data rows")
+    interleaved = n_rows < 2 or row_names[0] != row_names[1]
 
-    interleaved = len(body) < 2 or body[0][0] != body[1][0]
-
-    n_info_col = 2
-    D = len(body[0]) - n_info_col
     if interleaved:
         if D != L and D != ploidy * L:
             raise StructureFormatError(
                 f"number of columns ({L}) in '{path}' is not a multiple of "
                 f"ploidy ({ploidy})")
         n_loci = L // ploidy if D == L else L
-        I = len(body)
+        if D != ploidy * n_loci:
+            raise StructureFormatError(
+                f"data columns ({D}) in '{path}' do not cover "
+                f"{n_loci} loci x ploidy {ploidy}")
+        I = n_rows
+        # locus-major: ploidy consecutive values per locus
+        IL = data.reshape(I, n_loci, ploidy).transpose(0, 2, 1) \
+            .reshape(I * ploidy, n_loci)
+        names = list(row_names)
+        locale_strs = list(row_locales)
     else:
         if D != L:
             raise StructureFormatError(
                 f"number of columns ({L}) in '{path}' does not match number "
                 f"of alleles ({D}) given for first individual")
-        n_loci = L
-        if len(body) % ploidy:
+        if n_rows % ploidy:
             raise StructureFormatError(
-                f"number of lines ({len(body)}) in '{path}' is not a "
+                f"number of lines ({n_rows}) in '{path}' is not a "
                 f"multiple of ploidy ({ploidy})")
-        I = len(body) // ploidy
+        I = n_rows // ploidy
+        IL = np.ascontiguousarray(data)
+        names = row_names[::ploidy]
+        locale_strs = row_locales[::ploidy]
 
-    IL = np.empty((I * ploidy, n_loci), dtype=np.int64)
-    names: List[str] = []
     pops: List[str] = []
     pop_index = {}
     locales = np.empty(I, dtype=np.int64)
-
-    def locale_id(s: str) -> int:
+    for i, s in enumerate(locale_strs):
         if s not in pop_index:
             pop_index[s] = len(pops)
             pops.append(s)
-        return pop_index[s]
-
-    if interleaved:
-        for i, row in enumerate(body):
-            names.append(row[0])
-            locales[i] = locale_id(row[1])
-            vals = row[n_info_col:]
-            if len(vals) != ploidy * n_loci:
-                raise StructureFormatError(
-                    f"row {i + 1} of '{path}' has {len(vals)} data columns, "
-                    f"expected {ploidy * n_loci}")
-            # locus-major: ploidy consecutive values per locus
-            block = np.array(vals, dtype=np.int64).reshape(n_loci, ploidy)
-            for j in range(ploidy):
-                IL[i * ploidy + j] = block[:, j]
-    else:
-        for i in range(I):
-            rows = body[i * ploidy:(i + 1) * ploidy]
-            names.append(rows[0][0])
-            locales[i] = locale_id(rows[0][1])
-            for j, row in enumerate(rows):
-                vals = row[n_info_col:]
-                if len(vals) != n_loci:
-                    raise StructureFormatError(
-                        f"haplotype {i * ploidy + j + 1} of '{path}' has "
-                        f"{len(vals)} data columns, expected {n_loci}")
-                IL[i * ploidy + j] = np.array(vals, dtype=np.int64)
+        locales[i] = pop_index[s]
 
     if one_plus:
-        IL -= 1
+        IL = IL - 1
         missing_value -= 1
     if missing_value != MISSING:
         if (IL == MISSING).any():
@@ -138,7 +142,7 @@ def read_structure_raw(
                 f"The default missing value ({MISSING}) is observed in the "
                 f"input file, but the user has defined the missing value to "
                 f"be {missing_value}.")
-        IL[IL == missing_value] = MISSING
+        IL = np.where(IL == missing_value, MISSING, IL)
 
     return IL, names, locales, pops
 

@@ -39,7 +39,8 @@ class EstimateResult:
 def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
                    codes=None, warm=None, true_partition=None,
                    bootstrap: bool = False,
-                   on_model_done=None) -> EstimateResult:
+                   on_model_done=None,
+                   checkpoint_dir=None) -> EstimateResult:
     """``n_parameters_fn(K) -> int`` supplies the AIC/BIC parameter count."""
     t0 = time.time()
     if opt.n_bootstrap:
@@ -57,7 +58,8 @@ def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
         key, sub = jax.random.split(key)
         res = maximize_likelihood(sub, md, K, opt, n_parameters_fn(K),
                                   codes=codes, warm=warm,
-                                  true_partition=true_partition)
+                                  true_partition=true_partition,
+                                  checkpoint_dir=checkpoint_dir)
         per_K[K] = res
         if opt.n_bootstrap and K == ks[0]:
             max_logL_H0 = res.max_logL

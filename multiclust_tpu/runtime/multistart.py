@@ -161,12 +161,26 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
 def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                         n_parameters: int,
                         codes=None, warm: Optional[Params] = None,
-                        true_partition=None) -> MaximizeResult:
+                        true_partition=None,
+                        checkpoint_dir: Optional[str] = None
+                        ) -> MaximizeResult:
     """Maximize over initializations (maximize_likelihood,
-    multiclust.c:471-656)."""
+    multiclust.c:471-656).  ``checkpoint_dir`` persists/resumes the sweep
+    state after every batch of chains (runtime/checkpoint.py)."""
     cfg = cfg_from_options(opt, K)
     res = MaximizeResult(K=K)
     t0 = time.time()
+
+    if checkpoint_dir:
+        from multiclust_tpu.runtime import checkpoint as ckpt
+        loaded = ckpt.load(checkpoint_dir, K, dtype=md.x.dtype)
+        if loaded is not None:
+            res, saved_key = loaded
+            if saved_key is not None:
+                key = saved_key
+            if _regimes_satisfied(res, opt):
+                _score_arand(res, md, opt, true_partition)
+                return res
 
     if K == 1:
         _, _, _, k1 = _batch_fns(cfg, 16)
@@ -255,9 +269,28 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 if res.n_launched >= opt.n_init:
                     done = True
 
+        if checkpoint_dir:
+            from multiclust_tpu.runtime import checkpoint as ckpt
+            res.seconds = time.time() - t0
+            ckpt.save(checkpoint_dir, K, res, key=key)
+
     res.seconds = time.time() - t0
     _score_arand(res, md, opt, true_partition)
     return res
+
+
+def _regimes_satisfied(res: MaximizeResult, opt: Options) -> bool:
+    """Is a resumed sweep already past its stop regime?"""
+    if res.time_stop:
+        return True
+    if opt.target_revisit and not opt.target_ll:
+        return res.n_maxll_times >= opt.target_revisit
+    if opt.target_ll:
+        needed = opt.target_revisit or 1
+        return res.n_targetll_times >= needed
+    if not opt.n_seconds:
+        return res.n_launched >= opt.n_init
+    return False
 
 
 def _single_init(key, md, K, cfg, opt, codes, warm):

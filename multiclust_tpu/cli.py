@@ -255,6 +255,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     from multiclust_tpu.runtime.timing import timed_model_estimation
 
     ds = read_structure(opt.filename, opt)
+    if opt.imputation_method and opt.imputed_outfile:
+        # write the imputed dataset (read_file, read_file.c:295-296)
+        from multiclust_tpu.io.writers import write_data
+        write_data(opt, ds, opt.imputed_outfile)
     opt = opt.synchronize(ds.I, ds.ploidy)
     dtype = jnp.dtype(opt.dtype)
     md = model_data_from_dataset(ds, dtype=dtype)

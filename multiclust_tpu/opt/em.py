@@ -157,7 +157,13 @@ def _apply_stop(state: EMState, new_params: Params, ll: df64.DF, scale,
     dtype = ll[0].dtype
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     n_iter = state.n_iter + 1
-    nan_fail = ~jnp.isfinite(ll[0])
+    # NaN detection must inspect the parameters too: the masked-log guards
+    # (safe_log) deliberately zero non-finite contributions, so a poisoned
+    # parameter set can otherwise produce a finite-looking logL
+    params_ok = jnp.asarray(True)
+    for leaf in jax.tree_util.tree_leaves(new_params):
+        params_ok = params_ok & jnp.all(jnp.isfinite(leaf))
+    nan_fail = ~jnp.isfinite(ll[0]) | ~params_ok
 
     conv = _converged(cfg, state.logL_hi, state.logL_lo, ll, scale)
     iter_cap = (jnp.asarray(cfg.max_iter > 0)

@@ -165,6 +165,29 @@ def test_admixture_warm_start_parity(ref_binary, tmp_path, rng,
     np.testing.assert_allclose(np.asarray(res.state.params.p), ref_p,
                                atol=atol)
 
+    if accel == 0:
+        # CLUMPP/DISTRUCT aggregates: .popq row for the single locale
+        # (popq_admix, write_file.c:446-459).  The reference aggregates the
+        # d tensor from its LAST E-step (one step stale); near convergence
+        # the difference is within tolerance.
+        from multiclust_tpu.model.admixture import posterior_allele_mass
+        line = open(tmp_path / f"toy.str_admix_popq_{K}.popq").read()
+        parts = line.split(":")[1].split()
+        ref_popq = np.array([float(v) for v in parts[:K]])
+        assert int(parts[K]) == ds.I
+        dik = np.asarray(posterior_allele_mass(res.state.params, md))
+        ours_popq = (dik / (ds.ploidy * ds.L)).mean(axis=0)
+        np.testing.assert_allclose(ours_popq, ref_popq, atol=5e-3)
+
+        # .indivq (indivq_admix, write_file.c:552-559): etaik verbatim when
+        # unconstrained without missing data
+        rows = open(tmp_path /
+                    f"toy.str_admix_indivq_{K}.indivq").read().splitlines()
+        ref_iq = np.array([[float(v) for v in r.split(":")[1].split()]
+                           for r in rows])
+        np.testing.assert_allclose(np.asarray(res.state.params.eta),
+                                   ref_iq, atol=2e-3)
+
 
 def test_admixture_constrained_parity(ref_binary, tmp_path, rng):
     K = 3

@@ -1,0 +1,132 @@
+"""Robustness: numeric guards, df64 stress, initializer quality, meters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiclust_tpu.config import InitMethod
+from multiclust_tpu.model.common import EMConfig, Params, \
+    model_data_from_dataset
+from multiclust_tpu.opt import em as em_mod
+from multiclust_tpu.ops import df64
+from multiclust_tpu.stats.sim import random_model, simulate_admixture_fast
+
+
+def make(rng, I=40, L=20, M=3, K=3, missing=0.1):
+    Q, P = random_model(rng, K, L, M, I=I)
+    return simulate_admixture_fast(rng, Q, P, ploidy=2, missing_rate=missing)
+
+
+def test_nan_marks_chain_failed(rng):
+    ds = make(rng)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    cfg = EMConfig(admixture=True)
+    bad = Params(eta=jnp.full((ds.I, 3), jnp.nan),
+                 p=jnp.full((3, ds.L, ds.M), 1.0 / ds.M))
+    state = em_mod.plain_step(em_mod.init_state(bad, cfg), md, cfg)
+    assert bool(state.failed)
+    assert bool(state.stopped)
+
+
+def test_monotonicity_fatal_mode(rng):
+    """monotonicity='fatal' freezes a chain on a true logL decrease
+    (reference exits, em_alg.c:115-120); healthy EM never triggers it."""
+    ds = make(rng)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    cfg = EMConfig(admixture=True, monotonicity="fatal")
+    rng2 = np.random.default_rng(3)
+    eta = rng2.dirichlet(np.full(3, 2.0), size=ds.I)
+    p = rng2.random((3, ds.L, ds.M)) + 0.1
+    p = np.where(ds.mask[None], p, 0.0)
+    p = p / p.sum(axis=2, keepdims=True)
+    params = Params(eta=jnp.asarray(eta, jnp.float64),
+                    p=jnp.asarray(p, jnp.float64))
+    state = em_mod.init_state(params, cfg)
+    for _ in range(3000):
+        state = em_mod.plain_step(state, md, cfg)
+        if bool(state.stopped):
+            break
+    assert not bool(state.failed)
+    assert not bool(state.mono_viol)
+    assert bool(state.converged)
+
+
+def test_df64_beats_f32_sum():
+    """The tree-compensated sum resolves deltas far below f32 ulp of the
+    total - the property the convergence check relies on."""
+    rng = np.random.default_rng(0)
+    vals = (rng.random(100_000).astype(np.float32) - 0.3) * 20.0
+    exact = np.sum(vals.astype(np.float64))
+    naive = float(np.sum(vals))
+    hi, lo = df64.df_sum(jnp.asarray(vals))
+    ours = float(np.float64(hi) + np.float64(lo))
+    assert abs(ours - exact) < abs(naive - exact) / 4 + 1e-7
+    assert abs(ours - exact) < 1e-5
+
+
+def test_df64_sub_resolves_tiny_delta():
+    a = df64.df_sum(jnp.full((4096,), np.float32(244.140625)))
+    b_vals = jnp.full((4096,), np.float32(244.140625)).at[0].add(1e-3)
+    b = df64.df_sum(b_vals)
+    delta = float(df64.df_value(df64.df_sub(b, a)))
+    # total ~1e6; f32 ulp there is 0.0625 - we resolve 1e-3
+    assert abs(delta - 1e-3) < 1e-4
+
+
+def test_randem_init_beats_random(rng):
+    """Rand-EM's winning start should have logL >= the typical random
+    start's (rnd_init.c:123-161 rationale)."""
+    from multiclust_tpu.init.random import codes_from_counts, \
+        rand_em_initialize, random_initialize
+    from multiclust_tpu.opt.em import model_log_likelihood
+
+    ds = make(rng, I=60, L=30, missing=0.0)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    cfg = EMConfig(admixture=True)
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+    key = jax.random.PRNGKey(0)
+
+    re_params = rand_em_initialize(key, md, 3, cfg,
+                                   InitMethod.RANDOM_CENTERS, 10,
+                                   codes=codes)
+    re_ll = float(df64.df_value(model_log_likelihood(re_params, md, cfg)[0]))
+
+    lls = []
+    for s in range(8):
+        p = random_initialize(jax.random.PRNGKey(100 + s), md, 3, cfg,
+                              InitMethod.RANDOM_CENTERS, codes=codes)
+        lls.append(float(df64.df_value(
+            model_log_likelihood(p, md, cfg)[0])))
+    assert re_ll >= np.median(lls)
+
+
+def test_throughput_meter():
+    from multiclust_tpu.runtime.observe import ThroughputMeter
+    import time
+    m = ThroughputMeter(cells_per_iter=1000, n_chips=2)
+    time.sleep(0.05)  # let elapsed time dominate clock-read jitter
+    m.update(50)
+    ips = m.iters_per_sec
+    assert 0 < ips < 50 / 0.05 * 1.1
+    # properties re-read the clock; only approximate consistency holds
+    assert abs(m.cells_per_sec_per_chip - ips * 500) < ips * 50
+    assert "EM iterations" in m.report()
+
+
+def test_trace_printer(capsys):
+    import io
+
+    from multiclust_tpu.runtime.observe import make_trace_printer
+    assert make_trace_printer(3) is None      # MINIMAL gates off
+    buf = io.StringIO()
+    tr = make_trace_printer(4, out=buf)
+
+    class S:
+        logL = -100.0
+        n_iter = 1
+    tr(S(), kind="EM")
+    S.logL, S.n_iter = -90.0, 2
+    tr(S(), kind="S1")
+    lines = buf.getvalue().splitlines()
+    assert "(EM): -100.00" in lines[0]
+    assert "(S1): -90.00" in lines[1] and "10" in lines[1]

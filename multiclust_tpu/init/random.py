@@ -91,9 +91,27 @@ def random_allele_partition(key, md: ModelData, codes: Array,
 def random_allele_center(key, md: ModelData, codes: Array, K: int) -> Array:
     """Per-locus random center alleles; copies matching a center join its
     cluster, others are assigned randomly (random_allele_center,
-    rnd_init.c:496-580)."""
+    rnd_init.c:496-580).
+
+    Degeneracy fix (deviation, documented): when a locus has fewer alleles
+    than K the reference maps allele m to cluster m deterministically
+    (rnd_init.c:519-522).  For SNP panels with K > 2 EVERY locus is like
+    that, so all the reference's "random" multi-starts are identical and
+    its multi-start budget is wasted.  When no locus can supply K centers
+    we fall back to the random allele partition, restoring start
+    diversity.
+    """
     if K == 1:
         return jnp.where(codes >= 0, 0, -1)
+    degenerate = jnp.max(md.n_alleles) < K
+    return jax.lax.cond(
+        degenerate,
+        lambda k: random_allele_partition(k, md, codes, K),
+        lambda k: _allele_center_impl(k, md, codes, K),
+        key)
+
+
+def _allele_center_impl(key, md: ModelData, codes: Array, K: int) -> Array:
     kperm, krand = jax.random.split(key)
     M = md.M
     # random permutation of slots per locus; invalid slots sink to the end

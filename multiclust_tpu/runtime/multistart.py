@@ -200,12 +200,21 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         _score_arand(res, md, opt, true_partition)
         return res
 
+    # at verbosity > MINIMAL the reference prints one line per EM iteration
+    # (stop, em_alg.c:123-136); that needs serial chains with a tracer
+    serial = opt.verbosity > 3
+
     done = False
     while not done:
         key, sub = jax.random.split(key)
-        params_b, B = _initialize_batch(sub, md, K, cfg, opt, codes, warm)
-        states, timed_out = fit_batch(
-            params_b, md, cfg, n_seconds=opt.n_seconds, start_time=t0)
+        if serial:
+            states, timed_out, B = _fit_serial_traced(
+                sub, md, K, cfg, opt, codes, warm, t0)
+        else:
+            params_b, B = _initialize_batch(sub, md, K, cfg, opt, codes,
+                                            warm)
+            states, timed_out = fit_batch(
+                params_b, md, cfg, n_seconds=opt.n_seconds, start_time=t0)
 
         lls = np.asarray(states.logL_hi + states.logL_lo)
         convs = np.asarray(states.converged)
@@ -291,6 +300,20 @@ def _regimes_satisfied(res: MaximizeResult, opt: Options) -> bool:
     if not opt.n_seconds:
         return res.n_launched >= opt.n_init
     return False
+
+
+def _fit_serial_traced(key, md, K, cfg, opt, codes, warm, t0):
+    """One traced chain per round (verbosity > MINIMAL)."""
+    from multiclust_tpu.opt.driver import cfg_label, fit
+    from multiclust_tpu.runtime.observe import make_trace_printer
+
+    printer = make_trace_printer(opt.verbosity)
+    params = _single_init(key, md, K, cfg, opt, codes, warm)
+    res = fit(params, md, cfg, n_seconds=opt.n_seconds, start_time=t0,
+              trace=(lambda st, kind="EM": printer(st, kind))
+              if printer else None)
+    states = tree_map(lambda x: jnp.asarray(x)[None], res.state)
+    return states, res.time_stop, 1
 
 
 def _single_init(key, md, K, cfg, opt, codes, warm):

@@ -147,3 +147,18 @@ def test_cli_target_regimes(toy_file, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out.split()
     assert int(out[16]) >= 2               # n_maxll_times column
+
+
+def test_cli_verbose_trace(toy_file, tmp_path, capsys):
+    """-v 4 (RESTRAINED) prints per-iteration trace lines to stderr in the
+    reference's format (stop, em_alg.c:123-136)."""
+    path, _, _ = toy_file
+    rc = main(["-f", path, "-a", "-k", "2", "-n", "1", "-v", "4",
+               "-d", str(tmp_path)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    import re
+    lines = [ln for ln in err.splitlines()
+             if re.match(r"^ *\d+ \((EM|S\d|Q\d)\): ", ln)]
+    assert len(lines) > 3
+    assert "(delta):" in lines[0]

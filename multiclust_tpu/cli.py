@@ -237,9 +237,23 @@ OPTIONS (reference-compatible; see multiclust -h for details)
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # --platform cpu|tpu must act before any jax op (this container's
+    # sitecustomize pins the TPU backend and ignores JAX_PLATFORMS)
+    platform = None
+    if "--platform" in argv:
+        i = argv.index("--platform")
+        platform = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        import jax
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            jax.config.update("jax_enable_x64", True)
     import jax
 
-    opt = parse_args(sys.argv[1:] if argv is None else argv)
+    opt = parse_args(argv)
+    if platform == "cpu":
+        opt.dtype = "float64"  # reference-precision semantics on CPU
     key = jax.random.PRNGKey(opt.seed)
 
     if opt.simulate:
@@ -391,13 +405,37 @@ def print_model_state(opt: Options, ds, mres, diff: float,
         if newline:
             out.write("\n")
     else:
+        # long form (print_model_state, multiclust.c:748-790)
+        d = int(diff)
         out.write(f"Dataset: {opt.filename}\n")
         out.write(f"Method/Model: {opt.accel_abbreviation}, "
                   f"{'admix' if opt.admixture else 'mix'}, K={mres.K}\n")
+        out.write("Convergence: ae=%e, re=%e\n"
+                  % (opt.abs_error, opt.rel_error))
+        out.write("Bounds: e=%e, p=%e\n"
+                  % (opt.eta_lower_bound, opt.p_lower_bound))
+        out.write("Total number of iterations: %d\n" % mres.n_total_iter)
+        out.write("Total time: %02d:%02d:%02d\n"
+                  % (d // 3600, (d % 3600) // 60, d % 60))
+        out.write("Iteration of max log likelihood: %d of %d\n"
+                  % (mres.n_maxll_init, mres.n_init))
+        out.write("Number of times reach max log likelihood: %d\n"
+                  % mres.n_maxll_times)
         out.write(f"Maximum log likelihood: {mres.max_logL:f}\n")
         out.write(f"AIC: {mres.aic:f}\nBIC: {mres.bic:f}\n")
         out.write("Converged: %s\n" %
                   ("yes" if mres.ever_converged else "no"))
+        if opt.target_ll and mres.n_targetll_times:
+            out.write("Iteration of target log likelihood (%f): %d\n"
+                      % (opt.desired_ll, mres.n_targetll_init))
+            out.write("Number of times reach target log likelihood "
+                      "(%f): %d\n"
+                      % (opt.desired_ll, mres.n_targetll_times))
+        elif opt.target_ll and not opt.target_revisit:
+            out.write("WARNING: Did not reach target log likelihood "
+                      "(%f).\n" % opt.desired_ll)
+        if mres.time_stop:
+            out.write("WARNING: Fitting stopped because ran out of time\n")
 
 
 if __name__ == "__main__":

@@ -130,3 +130,40 @@ def test_trace_printer(capsys):
     lines = buf.getvalue().splitlines()
     assert "(EM): -100.00" in lines[0]
     assert "(S1): -90.00" in lines[1] and "10" in lines[1]
+
+
+def test_bootstrap_lrt_statistical_validity(rng):
+    """The bootstrap LRT pipeline end-to-end: structured K=2 data rejects
+    H0: K=1; unstructured (K=1) data does not (run_bootstrap,
+    multiclust.c:675-708)."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    from multiclust_tpu.runtime.ksweep import estimate_model
+    from multiclust_tpu.stats.bootstrap import run_bootstrap
+
+    def pvalue(ds, seed):
+        md = model_data_from_dataset(ds, dtype=jnp.float64)
+        codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+        opt = Options(admixture=True, n_init=2, min_K=2, max_K=2,
+                      n_bootstrap=8, dtype="float64")
+        key = jax.random.PRNGKey(seed)
+        npar = lambda K: ds.n_parameters(K, True, False)  # noqa: E731
+        est = estimate_model(key, md, opt, npar, codes=codes)
+        bres = run_bootstrap(jax.random.PRNGKey(seed + 1), md, opt, npar,
+                             est.ts, est.h0_params, 2)
+        return bres.pvalue
+
+    # strongly structured K=2 data
+    P2 = np.stack([np.stack([np.full(25, 0.9), np.full(25, 0.1)], 1),
+                   np.stack([np.full(25, 0.1), np.full(25, 0.9)], 1)])
+    Q2 = np.tile(np.array([[1.0, 0.0]]), (30, 1))
+    Q2[15:] = [0.0, 1.0]
+    ds2 = simulate_admixture_fast(rng, Q2, P2, ploidy=2)
+    assert pvalue(ds2, 0) < 0.2
+
+    # homogeneous K=1 data
+    Q1 = np.full((30, 2), 0.5)
+    P1 = np.stack([P2[0], P2[0]])
+    ds1 = simulate_admixture_fast(rng, np.tile([[1.0, 0.0]], (30, 1)),
+                                  np.stack([P2[0], P2[0]]), ploidy=2)
+    assert pvalue(ds1, 2) > 0.2

@@ -103,6 +103,21 @@ def model_data_from_dataset(ds, dtype=jnp.float32,
     return md
 
 
+def collapse_for_constrained(md: ModelData) -> ModelData:
+    """Constrained-eta admixture sufficient statistics.
+
+    With shared mixing proportions the per-iteration math depends on the
+    data only through the column sums sum_i x_ilm and sum_i miss_il
+    (model/admixture.py constrained path), so the fit can run on a
+    collapsed 1-row dataset - O(K L M) per EM step regardless of I.
+    """
+    return md._replace(
+        x=jnp.sum(md.x, axis=0, keepdims=True),
+        miss=jnp.sum(md.miss, axis=0, keepdims=True),
+        row_valid=None,
+    )
+
+
 def safe_log(x: Array, valid: Optional[Array] = None) -> Array:
     """log with zeros (and masked lanes) mapped to 0 contribution.
 

@@ -171,6 +171,14 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     res = MaximizeResult(K=K)
     t0 = time.time()
 
+    # constrained-eta admixture fits depend on the data only through its
+    # column sums: collapse once (the full md still serves init + scoring)
+    if cfg.admixture and cfg.eta_constrained:
+        from multiclust_tpu.model.common import collapse_for_constrained
+        md_fit = collapse_for_constrained(md)
+    else:
+        md_fit = md
+
     if checkpoint_dir:
         from multiclust_tpu.runtime import checkpoint as ckpt
         loaded = ckpt.load(checkpoint_dir, K, dtype=md.x.dtype)
@@ -185,7 +193,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     if K == 1:
         _, _, _, k1 = _batch_fns(cfg, 16)
         params = _single_init(key, md, K, cfg, opt, codes, warm)
-        state = k1(params, md)
+        state = k1(params, md_fit)
         ll = float(state.logL_hi + state.logL_lo)
         res.best_params = state.params
         res.max_logL = res.first_max_logL = ll
@@ -209,12 +217,13 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         key, sub = jax.random.split(key)
         if serial:
             states, timed_out, B = _fit_serial_traced(
-                sub, md, K, cfg, opt, codes, warm, t0)
+                sub, md, md_fit, K, cfg, opt, codes, warm, t0)
         else:
             params_b, B = _initialize_batch(sub, md, K, cfg, opt, codes,
                                             warm)
             states, timed_out = fit_batch(
-                params_b, md, cfg, n_seconds=opt.n_seconds, start_time=t0)
+                params_b, md_fit, cfg, n_seconds=opt.n_seconds,
+                start_time=t0)
 
         lls = np.asarray(states.logL_hi + states.logL_lo)
         convs = np.asarray(states.converged)
@@ -302,14 +311,14 @@ def _regimes_satisfied(res: MaximizeResult, opt: Options) -> bool:
     return False
 
 
-def _fit_serial_traced(key, md, K, cfg, opt, codes, warm, t0):
+def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0):
     """One traced chain per round (verbosity > MINIMAL)."""
     from multiclust_tpu.opt.driver import cfg_label, fit
     from multiclust_tpu.runtime.observe import make_trace_printer
 
     printer = make_trace_printer(opt.verbosity)
     params = _single_init(key, md, K, cfg, opt, codes, warm)
-    res = fit(params, md, cfg, n_seconds=opt.n_seconds, start_time=t0,
+    res = fit(params, md_fit, cfg, n_seconds=opt.n_seconds, start_time=t0,
               trace=(lambda st, kind="EM": printer(st, kind))
               if printer else None)
     states = tree_map(lambda x: jnp.asarray(x)[None], res.state)

@@ -181,20 +181,28 @@ def random_initialize(key, md: ModelData, K: int, cfg: EMConfig,
 
 def rand_em_initialize(key, md: ModelData, K: int, cfg: EMConfig,
                        method: InitMethod, n_rand_em_init: int,
-                       codes: Array = None) -> Params:
+                       codes: Array = None,
+                       md_score: ModelData = None) -> Params:
     """Rand-EM: run n starts through one EM step + E step, keep the start
     whose refined logL is best (randem_initialize_mixture rnd_init.c:123-161;
     randem_initialize_admixture :412-444).  The winning START (not its
-    refined parameters) seeds the real fit, as in the reference."""
+    refined parameters) seeds the real fit, as in the reference.
+
+    ``md_score`` lets constrained-eta sweeps score candidates on the
+    collapsed column-sum dataset (bitwise-identical logL at O(K L M)
+    instead of O(I K L M) per candidate); partition construction still
+    uses the full ``md``."""
     from multiclust_tpu.opt.em import model_em_step, model_log_likelihood
 
+    if md_score is None:
+        md_score = md
     n = n_rand_em_init if K > 1 else 1
     keys = jax.random.split(key, n)
 
     def one(k):
         params = random_initialize(k, md, K, cfg, method, codes)
-        stepped, _, _ = model_em_step(params, md, cfg)
-        ll, _ = model_log_likelihood(stepped, md, cfg)
+        stepped, _, _ = model_em_step(params, md_score, cfg)
+        ll, _ = model_log_likelihood(stepped, md_score, cfg)
         return params, ll[0] + ll[1]
 
     params_all, lls = jax.lax.map(one, keys)
@@ -205,10 +213,11 @@ def rand_em_initialize(key, md: ModelData, K: int, cfg: EMConfig,
 def initialize(key, md: ModelData, K: int, cfg: EMConfig,
                method: InitMethod = InitMethod.RANDOM_CENTERS,
                procedure: InitProcedure = InitProcedure.NOTHING,
-               n_rand_em_init: int = 50, codes: Array = None) -> Params:
+               n_rand_em_init: int = 50, codes: Array = None,
+               md_score: ModelData = None) -> Params:
     if procedure == InitProcedure.RAND_EM:
         return rand_em_initialize(key, md, K, cfg, method, n_rand_em_init,
-                                  codes)
+                                  codes, md_score=md_score)
     return random_initialize(key, md, K, cfg, method, codes)
 
 

@@ -141,7 +141,8 @@ def fit_batch(params_b: Params, md: ModelData, cfg: EMConfig, *,
 
 
 def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
-                      opt: Options, codes, warm: Optional[Params]):
+                      opt: Options, codes, warm: Optional[Params],
+                      md_score: Optional[ModelData] = None):
     if warm is not None:
         # -Q/-P warm start: every init identical (initialize_model,
         # rnd_init.c:74-76)
@@ -154,7 +155,8 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
         rinit.initialize, md=md, K=K, cfg=cfg,
         method=opt.initialization_method,
         procedure=opt.initialization_procedure,
-        n_rand_em_init=opt.n_rand_em_init, codes=codes)
+        n_rand_em_init=opt.n_rand_em_init, codes=codes,
+        md_score=md_score)
     return jax.vmap(lambda k: init_fn(k))(keys), B
 
 
@@ -220,7 +222,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 sub, md, md_fit, K, cfg, opt, codes, warm, t0)
         else:
             params_b, B = _initialize_batch(sub, md, K, cfg, opt, codes,
-                                            warm)
+                                            warm, md_score=md_fit)
             states, timed_out = fit_batch(
                 params_b, md_fit, cfg, n_seconds=opt.n_seconds,
                 start_time=t0)
@@ -317,7 +319,8 @@ def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0):
     from multiclust_tpu.runtime.observe import make_trace_printer
 
     printer = make_trace_printer(opt.verbosity)
-    params = _single_init(key, md, K, cfg, opt, codes, warm)
+    params = _single_init(key, md, K, cfg, opt, codes, warm,
+                          md_score=md_fit)
     res = fit(params, md_fit, cfg, n_seconds=opt.n_seconds, start_time=t0,
               trace=(lambda st, kind="EM": printer(st, kind))
               if printer else None)
@@ -325,13 +328,14 @@ def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0):
     return states, res.time_stop, 1
 
 
-def _single_init(key, md, K, cfg, opt, codes, warm):
+def _single_init(key, md, K, cfg, opt, codes, warm, md_score=None):
     if warm is not None:
         return warm
     return rinit.initialize(
         key, md, K, cfg, method=opt.initialization_method,
         procedure=opt.initialization_procedure,
-        n_rand_em_init=opt.n_rand_em_init, codes=codes)
+        n_rand_em_init=opt.n_rand_em_init, codes=codes,
+        md_score=md_score)
 
 
 def hard_partition(params: Params, md: ModelData, admixture: bool):

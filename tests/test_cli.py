@@ -162,3 +162,14 @@ def test_cli_verbose_trace(toy_file, tmp_path, capsys):
              if re.match(r"^ *\d+ \((EM|S\d|Q\d)\): ", ln)]
     assert len(lines) > 3
     assert "(delta):" in lines[0]
+
+
+def test_library_api(toy_file):
+    from multiclust_tpu.api import fit_file
+    path, _, _ = toy_file
+    out = fit_file(path, admixture=True, min_K=2, max_K=3, n_init=2,
+                   dtype="float64")
+    assert out.estimate.aic_K in (2, 3)
+    assert out.Q.shape[1] == out.estimate.aic_K
+    assert np.allclose(out.P.sum(axis=2), 1.0, atol=1e-6)
+    assert out.best.ever_converged

@@ -26,8 +26,9 @@ def write_structure_file(ds, path, ploidy):
 def test_tetraploid_multiallelic_golden(ref_binary, tmp_path, rng):
     """BASELINE.md config 4: ploidy 4, multi-allelic, admixture with
     projection; K=1 without missing data gives a deterministic global
-    optimum to compare (with missing data the reference's single K=1 EM
-    step depends on its random init, em_alg.c:49-57)."""
+    optimum to compare.  Missing data is excluded because the reference's
+    missing-data path reads uninitialized memory (see PARITY.md
+    "Discovered reference defect")."""
     K, ploidy, M = 2, 4, 6
     Q, P = random_model(rng, K, 12, M, I=30)
     ds = simulate_admixture_fast(rng, Q, P, ploidy=ploidy)

@@ -167,3 +167,30 @@ def test_bootstrap_lrt_statistical_validity(rng):
     ds1 = simulate_admixture_fast(rng, np.tile([[1.0, 0.0]], (30, 1)),
                                   np.stack([P2[0], P2[0]]), ploidy=2)
     assert pvalue(ds1, 2) > 0.2
+
+
+def test_missing_mass_em_reaches_observed_mle(rng):
+    """Our admixture EM distributes missing mass eta*p*miss (the
+    reference's intended-but-dead semantics, em_alg.c:400-431); its fixed
+    points provably coincide with the observed-data MLE.  Certify: at
+    convergence, an observed-only M-step does not move the parameters."""
+    from multiclust_tpu.init.random import codes_from_counts, initialize
+    from multiclust_tpu.opt.driver import fit
+
+    ds = make(rng, I=40, L=25, M=3, missing=0.25)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    cfg = EMConfig(admixture=True, abs_error=1e-9)
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+    p0 = initialize(jax.random.PRNGKey(0), md, 3, cfg, codes=codes)
+    res = fit(p0, md, cfg)
+    assert res.converged
+    params = res.state.params
+
+    # observed-only EM step: drop the miss term entirely
+    md_nomiss = md._replace(miss=jnp.zeros_like(md.miss))
+    from multiclust_tpu.model.admixture import em_step
+    new, _, _ = em_step(params, md_nomiss, cfg)
+    np.testing.assert_allclose(np.asarray(new.eta), np.asarray(params.eta),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(new.p), np.asarray(params.p),
+                               atol=5e-4)

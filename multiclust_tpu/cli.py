@@ -10,14 +10,13 @@ Run as ``python -m multiclust_tpu.cli <reference flags>``.
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 import time
 from typing import List, Optional
 
 import numpy as np
 
-from multiclust_tpu.config import AccelScheme, InitProcedure, MISSING, \
+from multiclust_tpu.config import AccelScheme, InitProcedure, \
     Options, OutputFormat
 
 

@@ -23,7 +23,7 @@ needs to tile E/M steps onto the MXU.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from multiclust_tpu.io.dataset import Dataset
-
 
 def read_qfile(path: str, I: int, K: int, per_individual: bool):
     """Warm-start mixing proportions: I*K (admixture unconstrained) or K

@@ -28,7 +28,7 @@ per-iteration cost drops from O(I K L M) to O(K L M) + one-time O(I L M).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ pytrees this small; the format is human-recoverable.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Optional

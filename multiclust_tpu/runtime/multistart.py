@@ -28,8 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multiclust_tpu.config import AccelScheme, InitMethod, InitProcedure, \
-    Options
+from multiclust_tpu.config import AccelScheme, Options
 from multiclust_tpu.init import random as rinit
 from multiclust_tpu.model.common import EMConfig, ModelData, Params
 from multiclust_tpu.model.likelihood import aic as aic_fn, bic as bic_fn
@@ -315,7 +314,7 @@ def _regimes_satisfied(res: MaximizeResult, opt: Options) -> bool:
 
 def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0):
     """One traced chain per round (verbosity > MINIMAL)."""
-    from multiclust_tpu.opt.driver import cfg_label, fit
+    from multiclust_tpu.opt.driver import fit
     from multiclust_tpu.runtime.observe import make_trace_printer
 
     printer = make_trace_printer(opt.verbosity)

@@ -194,3 +194,26 @@ def test_missing_mass_em_reaches_observed_mle(rng):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(new.p), np.asarray(params.p),
                                atol=5e-4)
+
+
+def test_time_cap_regime(rng):
+    """Stop regime 2: wall-clock cap (-t; stop_condition em_alg.c:155-158).
+    A short cap on a large problem must stop quickly with time_stop set."""
+    import time
+
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    Q, P = random_model(rng, 4, 300, 3, I=200)
+    ds = simulate_admixture_fast(rng, Q, P, ploidy=2)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+    opt = Options(admixture=True, n_init=0, n_seconds=2.0, min_K=4,
+                  max_K=4, dtype="float64", abs_error=1e-12)
+    t0 = time.time()
+    res = maximize_likelihood(jax.random.PRNGKey(0), md, 4, opt,
+                              ds.n_parameters(4, True, False), codes=codes)
+    elapsed = time.time() - t0
+    assert res.time_stop
+    assert elapsed < 30.0  # cap honored within segment + compile slack

@@ -109,12 +109,23 @@ def _batch_fns(cfg: EMConfig, segment: int):
     def init_one(params, md):
         return em_mod.init_state(params, cfg)
 
+    def refill_one(state, params, replace, md):
+        """Swap a fresh initialization into a stopped lane (with its
+        warmup/secant prologue) while leaving live lanes untouched.
+        ``replace`` is this lane's scalar flag (vmapped)."""
+        fresh = prologue_one(init_one(params, md), md) \
+            if (cfg.n_init_iter or accel) else init_one(params, md)
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(replace, new, old), fresh, state)
+
     prologue = jax.jit(jax.vmap(prologue_one, in_axes=(0, None)),
                        donate_argnums=0)
     seg = jax.jit(jax.vmap(seg_one, in_axes=(0, None)), donate_argnums=0)
     mk_state = jax.jit(jax.vmap(init_one, in_axes=(0, None)))
+    refill = jax.jit(jax.vmap(refill_one, in_axes=(0, 0, 0, None)),
+                     donate_argnums=0)
     k1 = jax.jit(lambda p, md: em_mod.fit_k1(p, md, cfg))
-    return prologue, seg, mk_state, k1
+    return prologue, seg, mk_state, k1, refill
 
 
 def fit_batch(params_b: Params, md: ModelData, cfg: EMConfig, *,
@@ -122,7 +133,7 @@ def fit_batch(params_b: Params, md: ModelData, cfg: EMConfig, *,
               start_time: Optional[float] = None):
     """Run a batch of chains to convergence; returns (EMState batch,
     timed_out)."""
-    prologue, seg, mk_state, _ = _batch_fns(cfg, segment)
+    prologue, seg, mk_state, _, _ = _batch_fns(cfg, segment)
     t0 = time.time() if start_time is None else start_time
     state = mk_state(params_b, md)
     if cfg.n_init_iter or cfg.accel_scheme != int(AccelScheme.NONE):
@@ -159,6 +170,161 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
     return jax.vmap(lambda k: init_fn(k))(keys), B
 
 
+
+def _bookkeep_lane(res: MaximizeResult, opt: Options, n_parameters: int,
+                   I: int, ll: float, conv: bool, iters: int, failed: bool,
+                   mono: bool, get_params, timed_out: bool) -> bool:
+    """Per-chain bookkeeping (multiclust.c:538-652); returns True when a
+    stop regime is satisfied."""
+    res.n_launched += 1
+    res.any_failed |= failed
+    res.mono_viol |= mono
+    if conv:
+        res.ever_converged = True
+    # iteration stats (multiclust.c:538-543)
+    if conv or (res.n_init == 0 and timed_out):
+        res.n_total_iter += iters
+        res.n_max_iter = max(res.n_max_iter, iters)
+        res.n_init += 1
+    # same-solution bookkeeping (multiclust.c:546-554)
+    if conv and _host_converged(opt, ll, res.first_max_logL):
+        res.n_maxll_times += 1
+    elif conv and ll > res.first_max_logL:
+        res.n_maxll_times = 1
+        res.first_max_logL = ll
+        res.n_maxll_init = res.n_init
+    # better solution (multiclust.c:557-560)
+    if ll > res.max_logL and np.isfinite(ll):
+        res.max_logL = ll
+        res.aic = aic_fn(ll, n_parameters)
+        res.bic = bic_fn(ll, n_parameters, I)
+        res.best_params = get_params()
+
+    # stop regimes (multiclust.c:629-652)
+    if timed_out:
+        res.time_stop = True
+        return True
+    if (opt.target_revisit and not opt.target_ll
+            and res.n_maxll_times >= opt.target_revisit):
+        return True
+    if opt.target_ll and (ll > opt.desired_ll
+                          or _host_converged(opt, ll, opt.desired_ll)):
+        if not res.n_targetll_times:
+            res.n_targetll_init = res.n_init
+        res.n_targetll_times += 1
+        if (not opt.target_revisit
+                or opt.target_revisit <= res.n_targetll_times):
+            return True
+    if (not opt.target_revisit and not opt.target_ll
+            and not opt.n_seconds and res.n_launched >= opt.n_init):
+        return True
+    return False
+
+
+def _run_continuous(key, res: MaximizeResult, md: ModelData,
+                    md_fit: ModelData, K: int, cfg: EMConfig, opt: Options,
+                    n_parameters: int, codes, t0: float,
+                    checkpoint_dir=None, segment: int = 16) -> None:
+    """Continuous-batching multi-start engine: B vmapped chains run in
+    lockstep segments; a stopped lane is immediately harvested and refilled
+    with a fresh initialization instead of idling until the slowest chain
+    finishes.  Bookkeeping runs in completion order (the reference's serial
+    ordinals like n_maxll_init refer to completed-chain counts here)."""
+    prologue, seg, mk_state, _, refill = _batch_fns(cfg, segment)
+    fixed_n = (not opt.target_revisit and not opt.target_ll
+               and not opt.n_seconds)
+    B = opt.batch_chains or min(max(opt.n_init, 1), 8)
+    if fixed_n:
+        B = min(B, opt.n_init)
+
+    def make_inits(k, n):
+        keys = jax.random.split(k, n)
+        init_fn = functools.partial(
+            rinit.initialize, md=md, K=K, cfg=cfg,
+            method=opt.initialization_method,
+            procedure=opt.initialization_procedure,
+            n_rand_em_init=opt.n_rand_em_init, codes=codes,
+            md_score=md_fit)
+        return jax.vmap(init_fn)(keys)
+
+    key, sub = jax.random.split(key)
+    state = mk_state(make_inits(sub, B), md_fit)
+    if cfg.n_init_iter or cfg.accel_scheme != int(AccelScheme.NONE):
+        state = prologue(state, md_fit)
+    launched = B
+    harvested = np.zeros(B, dtype=bool)
+    timed_out = False
+
+    while True:
+        stopped = np.asarray(state.stopped)
+        fresh_lanes = np.nonzero(stopped & ~harvested)[0]
+        if fresh_lanes.size:
+            lls = np.asarray(state.logL_hi + state.logL_lo)
+            convs = np.asarray(state.converged)
+            iters = np.asarray(state.n_iter)
+            faileds = np.asarray(state.failed)
+            monos = np.asarray(state.mono_viol)
+            for lane in fresh_lanes:
+                harvested[lane] = True
+                done = _bookkeep_lane(
+                    res, opt, n_parameters, md.I, float(lls[lane]),
+                    bool(convs[lane]), int(iters[lane]),
+                    bool(faileds[lane]), bool(monos[lane]),
+                    lambda ln=lane: tree_map(lambda t: t[ln], state.params),
+                    timed_out)
+                if done:
+                    return
+            if checkpoint_dir:
+                from multiclust_tpu.runtime import checkpoint as ckpt
+                res.seconds = time.time() - t0
+                ckpt.save(checkpoint_dir, K, res, key=key)
+
+        want_more = (launched < opt.n_init) if fixed_n else True
+        refillable = np.nonzero(harvested)[0]
+        if want_more and refillable.size:
+            nref = refillable.size
+            if fixed_n:
+                nref = min(nref, opt.n_init - launched)
+            lanes = refillable[:nref]
+            key, sub = jax.random.split(key)
+            fresh = make_inits(sub, nref)
+            # scatter the nref fresh inits into their lanes
+            idx_map = np.zeros(B, dtype=np.int32)
+            idx_map[lanes] = np.arange(nref)
+            params_b = tree_map(lambda t: t[jnp.asarray(idx_map)], fresh)
+            replace = np.zeros(B, dtype=bool)
+            replace[lanes] = True
+            state = refill(state, params_b, jnp.asarray(replace), md_fit)
+            launched += nref
+            harvested[lanes] = False
+        elif harvested.all():
+            return  # nothing active and no more chains wanted
+
+        if opt.n_seconds and (time.time() - t0) > opt.n_seconds:
+            # harvest still-active lanes as timed out (best-so-far logL
+            # counts, multiclust.c:538-560 with time_stop)
+            timed_out = True
+            lls = np.asarray(state.logL_hi + state.logL_lo)
+            convs = np.asarray(state.converged)
+            iters = np.asarray(state.n_iter)
+            faileds = np.asarray(state.failed)
+            monos = np.asarray(state.mono_viol)
+            for lane in np.nonzero(~harvested)[0]:
+                harvested[lane] = True
+                if _bookkeep_lane(
+                        res, opt, n_parameters, md.I, float(lls[lane]),
+                        bool(convs[lane]), int(iters[lane]),
+                        bool(faileds[lane]), bool(monos[lane]),
+                        lambda ln=lane: tree_map(lambda t: t[ln],
+                                                 state.params),
+                        True):
+                    return
+            res.time_stop = True
+            return
+
+        state = seg(state, md_fit)
+
+
 def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                         n_parameters: int,
                         codes=None, warm: Optional[Params] = None,
@@ -192,7 +358,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 return res
 
     if K == 1:
-        _, _, _, k1 = _batch_fns(cfg, 16)
+        _, _, _, k1, _ = _batch_fns(cfg, 16)
         params = _single_init(key, md, K, cfg, opt, codes, warm)
         state = k1(params, md_fit)
         ll = float(state.logL_hi + state.logL_lo)
@@ -212,6 +378,17 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     # at verbosity > MINIMAL the reference prints one line per EM iteration
     # (stop, em_alg.c:123-136); that needs serial chains with a tracer
     serial = opt.verbosity > 3
+
+    if not serial and warm is None:
+        # continuous-batching engine: stopped lanes refilled immediately
+        _run_continuous(key, res, md, md_fit, K, cfg, opt, n_parameters,
+                        codes, t0, checkpoint_dir=checkpoint_dir)
+        res.seconds = time.time() - t0
+        if checkpoint_dir:
+            from multiclust_tpu.runtime import checkpoint as ckpt
+            ckpt.save(checkpoint_dir, K, res, key=key)
+        _score_arand(res, md, opt, true_partition)
+        return res
 
     done = False
     while not done:
@@ -233,53 +410,13 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         monos = np.asarray(states.mono_viol)
 
         for lane in range(B):
-            res.n_launched += 1
-            ll = float(lls[lane])
-            conv = bool(convs[lane])
-            res.any_failed |= bool(faileds[lane])
-            res.mono_viol |= bool(monos[lane])
-            if conv:
-                res.ever_converged = True
-            # iteration stats (multiclust.c:538-543)
-            if conv or (res.n_init == 0 and timed_out):
-                res.n_total_iter += int(iters[lane])
-                res.n_max_iter = max(res.n_max_iter, int(iters[lane]))
-                res.n_init += 1
-            # same-solution bookkeeping (multiclust.c:546-554)
-            if conv and _host_converged(opt, ll, res.first_max_logL):
-                res.n_maxll_times += 1
-            elif conv and ll > res.first_max_logL:
-                res.n_maxll_times = 1
-                res.first_max_logL = ll
-                res.n_maxll_init = res.n_init
-            # better solution (multiclust.c:557-560)
-            if ll > res.max_logL and np.isfinite(ll):
-                res.max_logL = ll
-                res.aic = aic_fn(ll, n_parameters)
-                res.bic = bic_fn(ll, n_parameters, md.I)
-                res.best_params = tree_map(lambda t: t[lane], states.params)
-
-            # stop regimes (multiclust.c:629-652)
-            if timed_out:
-                res.time_stop = True
-                done = True
-                break
-            if (opt.target_revisit and not opt.target_ll
-                    and res.n_maxll_times >= opt.target_revisit):
-                done = True
-                break
-            if opt.target_ll and (ll > opt.desired_ll or
-                                  _host_converged(opt, ll, opt.desired_ll)):
-                if not res.n_targetll_times:
-                    res.n_targetll_init = res.n_init
-                res.n_targetll_times += 1
-                if (not opt.target_revisit
-                        or opt.target_revisit <= res.n_targetll_times):
-                    done = True
-                    break
-            if (not opt.target_revisit and not opt.target_ll
-                    and not opt.n_seconds and res.n_launched >= opt.n_init):
-                done = True
+            done = _bookkeep_lane(
+                res, opt, n_parameters, md.I, float(lls[lane]),
+                bool(convs[lane]), int(iters[lane]), bool(faileds[lane]),
+                bool(monos[lane]),
+                lambda ln=lane: tree_map(lambda t: t[ln], states.params),
+                timed_out)
+            if done:
                 break
         if warm is not None and not done:
             # warm starts are deterministic; more batches are pointless

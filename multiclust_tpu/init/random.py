@@ -42,15 +42,16 @@ def random_individual_center(key, md: ModelData, K: int) -> Array:
     if K == 1:
         return jnp.zeros((md.I,), jnp.int32)
     centers = jax.random.choice(key, md.I, (K,), replace=False)
-    xc = md.x[centers]                      # [K, L, M]
+    x = md.x.astype(md.dtype)
+    xc = x[centers]                         # [K, L, M]
     missc = md.miss[centers]                # [K, L]
     # dist[i,k] = sum_lm |x_i - x_c|  - sum_l |miss_i - miss_c| / n_alleles
     # chunked over K to bound the broadcast
-    denom = jnp.maximum(md.n_alleles.astype(md.x.dtype), 1.0)
+    denom = jnp.maximum(md.n_alleles.astype(md.dtype), 1.0)
     has_miss = md.miss.max(axis=0) > 0      # [L] locus has missing slot
 
     def dist_k(k):
-        d = jnp.abs(md.x - xc[k][None]).sum(axis=(1, 2))
+        d = jnp.abs(x - xc[k][None]).sum(axis=(1, 2))
         corr = jnp.where(has_miss[None],
                          jnp.abs(md.miss - missc[k][None]) / denom[None],
                          0.0).sum(axis=1)
@@ -67,10 +68,10 @@ def parameters_from_partition_mixture(I_K: Array, md: ModelData,
                                       K: int) -> Params:
     """Add-one-smoothed counts given a hard partition
     (initialize_parameters_mixture, rnd_init.c:268-339)."""
-    dtype = md.x.dtype
+    dtype = md.dtype
     onehot = jax.nn.one_hot(I_K, K, dtype=dtype)      # [I, K]
     eta = (1.0 + onehot.sum(axis=0)) / (md.I + K)
-    pc = jnp.einsum("ik,ilm->klm", onehot, md.x)
+    pc = jnp.einsum("ik,ilm->klm", onehot, md.x.astype(dtype))
     pc = jnp.where(md.mask[None], pc + 1.0, 0.0)
     p = pc / pc.sum(axis=2, keepdims=True)
     return Params(eta=eta, p=p)
@@ -141,7 +142,7 @@ def parameters_from_allele_partition(labels: Array, codes: Array,
                                      eta_constrained: bool) -> Params:
     """Smoothed counts given per-copy cluster labels
     (initialize_parameters_admixture, rnd_init.c:590-705)."""
-    dtype = md.x.dtype
+    dtype = md.dtype
     valid = codes >= 0
     onehot_k = jax.nn.one_hot(jnp.where(valid, labels, K), K,
                               dtype=dtype)            # [I, L, P, K]

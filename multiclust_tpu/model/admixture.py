@@ -202,7 +202,8 @@ def responsibilities_dense(params: Params, md: ModelData) -> Array:
         eta = jnp.broadcast_to(eta[None, :], (md.I, K))
     num = eta[:, :, None, None] * params.p[None]      # [I,K,L,M]
     denom = jnp.sum(num, axis=1, keepdims=True)
-    d = jnp.where(md.x[:, None] > 0,
-                  md.x[:, None] * num / jnp.where(denom > 0, denom, 1.0), 0.0)
+    x = md.x.astype(md.dtype)
+    d = jnp.where(x[:, None] > 0,
+                  x[:, None] * num / jnp.where(denom > 0, denom, 1.0), 0.0)
     d = d + num * md.miss[:, None, :, None]
     return jnp.where(md.mask[None, None], d, 0.0)

@@ -57,8 +57,22 @@ class ModelData(NamedTuple):
         return self.x.shape[2]
 
     @property
+    def dtype(self):
+        """Compute dtype (miss always carries it; x may be int8)."""
+        return self.miss.dtype
+
+    @property
     def x2d(self) -> Array:
-        return self.x.reshape(self.I, self.L * self.M)
+        """[I, LM] counts in the compute dtype.
+
+        ``x`` may be stored as int8 (4x less HBM - counts never exceed
+        ploidy); the cast happens here and XLA fuses or materializes it per
+        consumer.  The compute dtype is taken from ``miss``.
+        """
+        x = self.x.reshape(self.I, self.L * self.M)
+        if x.dtype != self.miss.dtype:
+            x = x.astype(self.miss.dtype)
+        return x
 
 
 class EMConfig(NamedTuple):
@@ -89,11 +103,15 @@ class EMConfig(NamedTuple):
         return (not self.admixture) or self.eta_constrained
 
 
-def model_data_from_dataset(ds, dtype=jnp.float32,
-                            device=None) -> ModelData:
-    """Lift a host Dataset into device tensors of the compute dtype."""
+def model_data_from_dataset(ds, dtype=jnp.float32, device=None,
+                            storage_dtype=None) -> ModelData:
+    """Lift a host Dataset into device tensors of the compute dtype.
+
+    ``storage_dtype=jnp.int8`` keeps the count tensor 4x smaller in HBM
+    (counts never exceed ploidy); ``ModelData.x2d`` casts on use.
+    """
     md = ModelData(
-        x=jnp.asarray(ds.counts, dtype=dtype),
+        x=jnp.asarray(ds.counts, dtype=storage_dtype or dtype),
         miss=jnp.asarray(ds.miss, dtype=dtype),
         mask=jnp.asarray(ds.mask),
         n_alleles=jnp.asarray(ds.n_alleles, dtype=jnp.int32),
@@ -112,7 +130,7 @@ def collapse_for_constrained(md: ModelData) -> ModelData:
     collapsed 1-row dataset - O(K L M) per EM step regardless of I.
     """
     return md._replace(
-        x=jnp.sum(md.x, axis=0, keepdims=True),
+        x=jnp.sum(md.x.astype(md.miss.dtype), axis=0, keepdims=True),
         miss=jnp.sum(md.miss, axis=0, keepdims=True),
         row_valid=None,
     )

@@ -35,6 +35,21 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host runtime bring-up (SURVEY.md section 5: the reference has
+    no distributed backend; ours is jax.distributed + XLA collectives over
+    ICI/DCN).  No-op when already initialized or single-process."""
+    import jax
+
+    if num_processes in (None, 1) and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+
+
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
               devices=None) -> Mesh:
     """Create a (data, model) mesh; default puts every device on data."""

@@ -348,7 +348,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
 
     if checkpoint_dir:
         from multiclust_tpu.runtime import checkpoint as ckpt
-        loaded = ckpt.load(checkpoint_dir, K, dtype=md.x.dtype)
+        loaded = ckpt.load(checkpoint_dir, K, dtype=md.dtype)
         if loaded is not None:
             res, saved_key = loaded
             if saved_key is not None:

@@ -165,3 +165,32 @@ class TestDf64:
         hi, lo = df64.df_sum(jnp.asarray(vals, jnp.float32))
         got = float(hi) + float(lo)
         assert abs(got - (1e6 + 1.0)) < 1e-3
+
+
+class TestInt8Storage:
+    def test_int8_storage_matches_f64(self, rng):
+        """x stored as int8 must give identical E/M results (counts are
+        exact in any dtype; x2d casts to the compute dtype)."""
+        import jax
+        ds = make_data(rng, missing_rate=0.15)
+        md64 = to_md(ds)
+        md8 = model_data_from_dataset(ds, dtype=jnp.float64,
+                                      storage_dtype=jnp.int8)
+        assert md8.x.dtype == jnp.int8 and md8.dtype == jnp.float64
+        cfg = EMConfig(admixture=True)
+        params = rand_params(rng, 3, md64, per_individual=True)
+        a, ll_a, _ = admixture.em_step(params, md64, cfg)
+        b, ll_b, _ = admixture.em_step(params, md8, cfg)
+        np.testing.assert_array_equal(np.asarray(a.p), np.asarray(b.p))
+        np.testing.assert_array_equal(np.asarray(a.eta), np.asarray(b.eta))
+        assert float(df64.df_value(ll_a)) == float(df64.df_value(ll_b))
+        # mixture path + init path
+        cfgm = EMConfig(admixture=False)
+        pm = rand_params(rng, 3, md64)
+        am, la, _, _ = mixture.em_step(pm, md64, cfgm)
+        bm, lb, _, _ = mixture.em_step(pm, md8, cfgm)
+        np.testing.assert_array_equal(np.asarray(am.p), np.asarray(bm.p))
+        from multiclust_tpu.init.random import initialize
+        i64 = initialize(jax.random.PRNGKey(0), md64, 3, cfgm)
+        i8 = initialize(jax.random.PRNGKey(0), md8, 3, cfgm)
+        np.testing.assert_array_equal(np.asarray(i64.p), np.asarray(i8.p))

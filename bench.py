@@ -40,8 +40,12 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=100, repeats=3):
     from multiclust_tpu.model.common import EMConfig, ModelData, Params
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # mirror the engine's device policy (config.Options.device_policy):
+    # Pallas path stores genotype counts int8; no missing data here, so the
+    # miss reductions are statically skipped exactly as in a real fit
     cfg = EMConfig(admixture=True,
-                   use_pallas="on" if use_pallas else "off")
+                   use_pallas="on" if use_pallas else "off",
+                   has_missing=False)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     ploidy = 2
@@ -51,7 +55,9 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=100, repeats=3):
     for a in range(ploidy):
         counts = counts + jax.nn.one_hot(draws[:, :, a], M,
                                          dtype=jnp.float32)
-    md = ModelData(x=counts, miss=jnp.zeros((I, L), jnp.float32),
+    storage = jnp.int8 if use_pallas else jnp.float32
+    md = ModelData(x=counts.astype(storage),
+                   miss=jnp.zeros((I, L), jnp.float32),
                    mask=jnp.ones((L, M), bool),
                    n_alleles=jnp.full((L,), M, jnp.int32))
     eta = jax.random.dirichlet(k2, jnp.full((K,), 2.0), (I,))

@@ -53,7 +53,8 @@ def fit_dataset(ds: Dataset, opt: Optional[Options] = None,
         opt = dataclasses.replace(opt, **kw)
     opt = opt.synchronize(ds.I, ds.ploidy)
     dtype = jnp.dtype(opt.dtype)
-    md = model_data_from_dataset(ds, dtype=dtype)
+    _, storage = opt.device_policy()
+    md = model_data_from_dataset(ds, dtype=dtype, storage_dtype=storage)
     codes = None
     if opt.admixture:
         codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, ds.ploidy))

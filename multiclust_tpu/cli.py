@@ -274,7 +274,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         write_data(opt, ds, opt.imputed_outfile)
     opt = opt.synchronize(ds.I, ds.ploidy)
     dtype = jnp.dtype(opt.dtype)
-    md = model_data_from_dataset(ds, dtype=dtype)
+    _, storage = opt.device_policy()
+    md = model_data_from_dataset(ds, dtype=dtype, storage_dtype=storage)
 
     codes = None
     if opt.admixture:

@@ -155,7 +155,9 @@ class Options:
     # --- TPU-native additions (no reference counterpart) ---
     dtype: str = "float32"            # compute dtype for E/M tensors
     batch_chains: int = 0             # 0 = auto: vmap width for multi-start
-    use_pallas: bool = False          # fused Pallas admixture kernel
+    use_pallas: Optional[bool] = None  # fused Pallas admixture kernels;
+                                      # None = auto (on for f32 admixture
+                                      # fits on an accelerator backend)
     mesh_shape: Optional[tuple] = None  # (data_shards, loci_shards)
     checkpoint_dir: Optional[str] = None  # --checkpoint: sweep persistence
     monotonicity: str = "warn"        # "fatal" (reference, em_alg.c:115-120),
@@ -194,6 +196,28 @@ class Options:
         if out.n_bootstrap and out.max_K <= 1:
             raise ValueError("When bootstrapping, maximum K must exceed 1.")
         return out
+
+    def device_policy(self):
+        """Resolve backend-dependent defaults at fit time.
+
+        Returns ``(use_pallas, storage_dtype)``: the fused Pallas sweep
+        kernels default on for f32 admixture fits on an accelerator
+        backend, and genotype counts are then stored int8 (counts never
+        exceed ploidy; the kernels cast tiles in VMEM so HBM reads are
+        1 byte/cell).  The XLA/CPU paths keep the compute dtype - an int8
+        count tensor there makes XLA materialize a full f32 cast per
+        iteration, which is slower.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        on_accel = jax.default_backend() != "cpu"
+        up = self.use_pallas
+        if up is None:
+            up = bool(on_accel and self.admixture and
+                      self.dtype == "float32")
+        storage = jnp.int8 if up else None
+        return up, storage
 
     @property
     def accel_abbreviation(self) -> str:

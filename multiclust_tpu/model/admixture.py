@@ -79,8 +79,9 @@ def _em_step_unconstrained(params, md, cfg):
 
     # eta update: sum_lm d_iklm = eta_ik (A_ik + c_i)
     A = w @ p2.T                                      # [I, K]  (MXU)
-    c = jnp.sum(md.miss, axis=1, keepdims=True)       # [I, 1]
-    eta_num = eta * (A + c)
+    if cfg.has_missing:
+        A = A + jnp.sum(md.miss, axis=1, keepdims=True)
+    eta_num = eta * A
     tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
     # padding rows (zero counts, zero missing) have zero mass; keep their
     # eta unchanged instead of 0/0
@@ -91,9 +92,11 @@ def _em_step_unconstrained(params, md, cfg):
                                cfg.eta_lower_bound)
 
     # p update: sum_i d_iklm = p_klm (B_klm + C_kl)
-    B = eta.T @ w                                     # [K, LM] (MXU)
-    C = eta.T @ md.miss                               # [K, L]  (MXU)
-    pc = p * (B.reshape(K, md.L, md.M) + C[:, :, None])
+    B = (eta.T @ w).reshape(K, md.L, md.M)            # [K, LM] (MXU)
+    if cfg.has_missing:
+        C = eta.T @ md.miss                           # [K, L]  (MXU)
+        B = B + C[:, :, None]
+    pc = p * B
     p_new = _normalize_p(pc, md, cfg)
 
     return Params(eta=eta_new, p=p_new), ll, scale
@@ -101,16 +104,28 @@ def _em_step_unconstrained(params, md, cfg):
 
 def _em_step_unconstrained_pallas(params, md, cfg):
     """Pallas path: the [I, LM] denominators/weights never touch HBM
-    (ops/kernels.py); identical math to _em_step_unconstrained."""
-    from multiclust_tpu.ops.kernels import admixture_sweep_stats, \
-        pad_for_kernel
+    (ops/kernels.py); identical math to _em_step_unconstrained.
+
+    Prefers the single-pass fused kernel (x streamed once, denominator
+    matmul once per tile, B resident in VMEM); falls back to the two-pass
+    kernels when B would not fit (very large LM)."""
+    from multiclust_tpu.ops.kernels import admixture_sweep_fused, \
+        admixture_sweep_stats, fused_fits, pad_for_kernel
 
     eta, p = params.eta, params.p
     K = params.K
     p2 = p.reshape(K, -1)
-    eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, md.x2d)
-    A_p, t_p, B_p = admixture_sweep_stats(
-        eta_p, p2_p, x2_p, interpret=(cfg.use_pallas == "interpret"))
+    # keep x in its storage dtype (possibly int8): the kernels cast tiles
+    # in VMEM, so HBM sees 1 byte/cell instead of 4
+    x2 = md.x.reshape(md.I, md.L * md.M)
+    eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, x2)
+    interpret = cfg.use_pallas == "interpret"
+    if fused_fits(eta_p.shape[1], p2_p.shape[1]):
+        A_p, t_p, B_p = admixture_sweep_fused(
+            eta_p, p2_p, x2_p, interpret=interpret)
+    else:
+        A_p, t_p, B_p = admixture_sweep_stats(
+            eta_p, p2_p, x2_p, interpret=interpret)
     A = A_p[:I, :K]
     B = B_p[:K, :LM]
     per_i = t_p[:I]
@@ -118,8 +133,9 @@ def _em_step_unconstrained_pallas(params, md, cfg):
     ll = df64.df_sum(per_i)
     scale = jnp.sqrt(jnp.sum(per_i * per_i))
 
-    c = jnp.sum(md.miss, axis=1, keepdims=True)
-    eta_num = eta * (A + c)
+    if cfg.has_missing:
+        A = A + jnp.sum(md.miss, axis=1, keepdims=True)
+    eta_num = eta * A
     tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
     eta_new = jnp.where(tot_eta > 0,
                         eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0), eta)
@@ -127,8 +143,11 @@ def _em_step_unconstrained_pallas(params, md, cfg):
         eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
                                cfg.eta_lower_bound)
 
-    C = eta.T @ md.miss
-    pc = p * (B.reshape(K, md.L, md.M) + C[:, :, None])
+    B = B.reshape(K, md.L, md.M)
+    if cfg.has_missing:
+        C = eta.T @ md.miss
+        B = B + C[:, :, None]
+    pc = p * B
     p_new = _normalize_p(pc, md, cfg)
     return Params(eta=eta_new, p=p_new), ll, scale
 

@@ -97,6 +97,10 @@ class EMConfig(NamedTuple):
     # fused Pallas sweep kernels for the admixture E+M (f32 only);
     # "off", "on" (compiled), or "interpret" (CPU testing)
     use_pallas: str = "off"
+    # False lets the admixture step skip the missing-mass reductions
+    # (c_i = sum_l miss_il and C = eta^T miss, em_alg.c:400-431) entirely -
+    # a static, trace-time decision made from the dataset by the caller.
+    has_missing: bool = True
 
     @property
     def eta_is_vector(self) -> bool:

@@ -3,8 +3,17 @@
 The XLA formulation (model/admixture.py) materializes denom = eta @ p and
 w = x / denom as [I, LM] HBM tensors, each written once and read twice -
 the EM step is HBM-bandwidth bound.  These kernels stream x through VMEM
-and recompute denom on the MXU inside each tile, so per sweep the only
-large HBM traffic is two reads of x (one per kernel):
+and recompute denom on the MXU inside each tile.
+
+Preferred path - ONE kernel, x read once, denom computed once per tile
+(``admixture_sweep_fused``): grid (i-outer, l-inner); A[i,k] and t[i]
+accumulate per i-block (revisited consecutively along the inner grid
+dimension), while B[k,lm] is a full-array output block with a CONSTANT
+index map, so it stays resident in VMEM for the entire grid and is written
+back to HBM exactly once.  Requires Kp*LMp*4 bytes of VMEM for B - gated
+by ``fused_fits`` (biobank-scale LM falls back to the two-pass kernels).
+
+Fallback - two kernels, each streaming x once:
 
   kernel A (grid i-outer, l-inner):  per-individual statistics
       A[i, k]  = sum_lm w_ilm p_klm          (-> eta update)
@@ -32,6 +41,89 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# VMEM budget for the fused kernel's resident B accumulator (bytes).  The
+# core has ~16 MB; tiles + double buffering take ~4 MB at the default
+# (ti, tl), so 8 MB for B is safe and covers LM up to 16k lanes at Kp=128.
+FUSED_B_VMEM_LIMIT = 8 * 1024 * 1024
+
+
+def fused_fits(Kp: int, LMp: int) -> bool:
+    """True when the single-pass kernel's B accumulator fits in VMEM."""
+    return Kp * LMp * 4 <= FUSED_B_VMEM_LIMIT
+
+
+def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int):
+    i_idx = pl.program_id(0)
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _():
+        a_ref[:] = jnp.zeros_like(a_ref)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    @pl.when(jnp.logical_and(i_idx == 0, l_idx == 0))
+    def _():
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    denom = jnp.dot(eta_ref[:], p_ref[:],
+                    preferred_element_type=jnp.float32)        # [TI, TL]
+    xb = x_ref[:].astype(jnp.float32)
+    pos = xb > 0
+    safe_d = jnp.where(denom > 0, denom, 1.0)
+    w = jnp.where(pos, xb / safe_d, 0.0)
+    t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+    a_ref[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
+    t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
+    col = pl.multiple_of(l_idx * tl, tl)
+    b_ref[:, pl.ds(col, tl)] += jnp.dot(
+        eta_ref[:].T, w, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("ti", "tl", "interpret"))
+def admixture_sweep_fused(eta, p2, x2, *, ti: int = 256, tl: int = 512,
+                          interpret: bool = False):
+    """Single-pass fused sweep statistics (see module docstring).
+
+    Same contract as ``admixture_sweep_stats`` but reads x once and runs
+    the denominator matmul once per tile; caller must check
+    ``fused_fits(Kp, LMp)`` first.
+    """
+    I, Kp = eta.shape
+    LMp = p2.shape[1]
+    assert I % ti == 0 and LMp % tl == 0, (I, ti, LMp, tl)
+    assert fused_fits(Kp, LMp), (Kp, LMp)
+    n_i, n_l = I // ti, LMp // tl
+    f32 = jnp.float32
+
+    a_out, t_out, b_out = pl.pallas_call(
+        functools.partial(_fused_kernel, tl=tl),
+        grid=(n_i, n_l),
+        in_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, LMp), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((I, Kp), f32),
+            jax.ShapeDtypeStruct((I, 1), f32),
+            jax.ShapeDtypeStruct((Kp, LMp), f32),
+        ],
+        interpret=interpret,
+    )(eta, p2, x2)
+    return a_out, t_out[:, 0], b_out
 
 
 def _istats_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref):
@@ -135,8 +227,12 @@ def pad_for_kernel(eta, p2, x2, ti: int = 256, tl: int = 512):
     I, K = eta.shape
     LM = p2.shape[1]
     Ip, Kp, LMp = _round_up(I, ti), _round_up(K, 128), _round_up(LM, tl)
-    if (Ip, Kp, LMp) != (I, K, LM):
+    # pad each tensor only if it actually grows (a zero-width jnp.pad can
+    # still materialize a copy of the big count tensor)
+    if (Ip, Kp) != (I, K):
         eta = jnp.pad(eta, ((0, Ip - I), (0, Kp - K)))
+    if (Kp, LMp) != (K, LM):
         p2 = jnp.pad(p2, ((0, Kp - K), (0, LMp - LM)))
+    if (Ip, LMp) != (I, LM):
         x2 = jnp.pad(x2, ((0, Ip - I), (0, LMp - LM)))
     return eta, p2, x2, (I, K, LM)

@@ -37,7 +37,14 @@ from multiclust_tpu.opt import em as em_mod
 tree_map = jax.tree_util.tree_map
 
 
-def cfg_from_options(opt: Options, K: int) -> EMConfig:
+def cfg_from_options(opt: Options, K: int,
+                     md: Optional[ModelData] = None) -> EMConfig:
+    """Static EM config; ``md`` (if given) fixes the trace-time
+    ``has_missing`` flag so missing-free fits skip the miss reductions."""
+    has_missing = True
+    if md is not None:
+        has_missing = bool(jax.device_get(jnp.any(md.miss > 0)))
+    use_pallas, _ = opt.device_policy()
     return EMConfig(
         admixture=opt.admixture, eta_constrained=opt.eta_constrained,
         do_projection=opt.do_projection,
@@ -46,7 +53,9 @@ def cfg_from_options(opt: Options, K: int) -> EMConfig:
         abs_error=opt.abs_error, rel_error=opt.rel_error,
         max_iter=opt.max_iter, accel_scheme=int(opt.accel_scheme),
         q=opt.q, n_init_iter=opt.n_init_iter, adjust_step=opt.adjust_step,
-        monotonicity=opt.monotonicity)
+        monotonicity=opt.monotonicity,
+        use_pallas="on" if use_pallas else "off",
+        has_missing=has_missing)
 
 
 @dataclasses.dataclass
@@ -334,7 +343,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     """Maximize over initializations (maximize_likelihood,
     multiclust.c:471-656).  ``checkpoint_dir`` persists/resumes the sweep
     state after every batch of chains (runtime/checkpoint.py)."""
-    cfg = cfg_from_options(opt, K)
+    cfg = cfg_from_options(opt, K, md)
     res = MaximizeResult(K=K)
     t0 = time.time()
 

@@ -9,7 +9,8 @@ from multiclust_tpu.model import admixture
 from multiclust_tpu.model.common import EMConfig, Params, \
     model_data_from_dataset
 from multiclust_tpu.ops import df64
-from multiclust_tpu.ops.kernels import admixture_sweep_stats, pad_for_kernel
+from multiclust_tpu.ops.kernels import admixture_sweep_fused, \
+    admixture_sweep_stats, fused_fits, pad_for_kernel
 from multiclust_tpu.stats.sim import random_model, simulate_admixture_fast
 
 
@@ -51,6 +52,35 @@ def test_sweep_stats_match_xla(setup):
                                rtol=2e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(t[:I]), np.asarray(t_ref),
                                rtol=2e-5, atol=5e-3)
+
+
+@pytest.mark.parametrize("x_dtype", [jnp.float32, jnp.int8])
+def test_fused_sweep_matches_xla(setup, x_dtype):
+    """Single-pass kernel == two-pass kernels == XLA, f32 and int8 x."""
+    ds, md, params = setup
+    K = params.K
+    p2 = params.p.reshape(K, -1)
+    x2 = md.x2d
+    denom = params.eta @ p2
+    w = jnp.where(x2 > 0, x2 / denom, 0.0)
+    A_ref = w @ p2.T
+    B_ref = params.eta.T @ w
+    t_ref = jnp.sum(jnp.where(x2 > 0, x2 * jnp.log(denom), 0.0), axis=1)
+
+    eta_p, p2_p, x2_p, (I, Kk, LM) = pad_for_kernel(
+        params.eta, p2, x2.astype(x_dtype), ti=32, tl=128)
+    assert fused_fits(eta_p.shape[1], p2_p.shape[1])
+    A, t, B = admixture_sweep_fused(eta_p, p2_p, x2_p, ti=32, tl=128,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(A[:I, :Kk]), np.asarray(A_ref),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(B[:Kk, :LM]), np.asarray(B_ref),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t[:I]), np.asarray(t_ref),
+                               rtol=2e-5, atol=5e-3)
+    # padding rows/cols carry no mass
+    np.testing.assert_array_equal(np.asarray(A[I:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(B[Kk:]), 0.0)
 
 
 def test_pallas_em_step_matches_xla(setup):

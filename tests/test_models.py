@@ -55,6 +55,22 @@ class TestSimplex:
                 assert abs(ours.sum() - 1.0) < 1e-9
                 assert (ours >= lb - 1e-15).all()
 
+    def test_iterative_matches_sorted(self, rng):
+        """The iterative Michelot (compute path) and the closed-form sorted
+        projection agree on batched masked rows."""
+        from multiclust_tpu.ops.simplex import project_rows_sorted
+        M = 8
+        v = rng.normal(size=(64, M)) * rng.choice([0.1, 1.0, 10.0],
+                                                  size=(64, 1))
+        n_valid = rng.integers(2, M + 1, size=64)
+        mask = np.arange(M)[None, :] < n_valid[:, None]
+        for lb in (0.0, 1e-8, 1e-3):
+            a = np.asarray(project_rows(
+                jnp.asarray(v), jnp.asarray(mask), jnp.asarray(n_valid), lb))
+            b = np.asarray(project_rows_sorted(
+                jnp.asarray(v), jnp.asarray(mask), jnp.asarray(n_valid), lb))
+            np.testing.assert_allclose(a, b, atol=1e-10)
+
     def test_masked_rows(self, rng):
         # batched rows with different valid counts
         M = 6

@@ -31,13 +31,16 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_ref_cache.json")
 
 
-def our_throughput(I=16384, L=2048, M=2, K=20, steps=100, repeats=3):
+def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
+    # steps amortize the ~25ms scalar-fetch round trip through the axon
+    # tunnel; at 400 steps the reported rate is within ~3% of device rate
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from multiclust_tpu.model.admixture import em_step
-    from multiclust_tpu.model.common import EMConfig, ModelData, Params
+    from multiclust_tpu.model.common import EMConfig, ModelData, Params, \
+        k_padded_size, pad_params_k
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # mirror the engine's device policy (config.Options.device_policy):
@@ -45,7 +48,8 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=100, repeats=3):
     # miss reductions are statically skipped exactly as in a real fit
     cfg = EMConfig(admixture=True,
                    use_pallas="on" if use_pallas else "off",
-                   has_missing=False)
+                   has_missing=False,
+                   k_true=K if use_pallas else 0)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     ploidy = 2
@@ -63,12 +67,17 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=100, repeats=3):
     eta = jax.random.dirichlet(k2, jnp.full((K,), 2.0), (I,))
     p = jax.random.dirichlet(k3, jnp.full((M,), 1.0), (K, L))
     params = Params(eta=eta.astype(jnp.float32), p=p.astype(jnp.float32))
+    if use_pallas:
+        # production layout (runtime/multistart._pad_k): K-padded lanes so
+        # no per-iteration relayout is needed
+        params = pad_params_k(params, k_padded_size(K))
 
     # pass md as an argument: closing over it would embed the genotype
     # tensor as an HLO constant (huge programs; the axon remote-compile
     # relay rejects them with HTTP 413)
     @jax.jit
     def run(params, md):
+        md = md.prepare_for_em()  # flatten x once, outside the loop
         def body(_, p):
             new, _, _ = em_step(p, md, cfg)
             return new

@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from multiclust_tpu.model.common import Array, EMConfig, ModelData, Params, \
     safe_log
@@ -43,6 +44,24 @@ def _safe_div(num: Array, den: Array) -> Array:
     return jnp.where(ok, num / jnp.where(den > 0, den, 1.0), 0.0)
 
 
+def _k_valid(cfg: EMConfig, Kp: int):
+    """Static bool[Kp] marking true clusters under the K-padded layout
+    (cfg.k_true), or None when the parameters are unpadded."""
+    kt = cfg.k_true or Kp
+    if kt == Kp:
+        return None
+    return jnp.asarray(np.arange(Kp) < kt)
+
+
+def _project_eta_rows(eta: Array, cfg: EMConfig) -> Array:
+    Kp = eta.shape[-1]
+    kv = _k_valid(cfg, Kp)
+    if kv is None:
+        return project_rows(eta, jnp.ones((Kp,), bool), Kp,
+                            cfg.eta_lower_bound)
+    return project_rows(eta, kv, cfg.k_true, cfg.eta_lower_bound)
+
+
 def _normalize_p(pc: Array, md: ModelData, cfg: EMConfig) -> Array:
     tot = jnp.sum(pc, axis=2, keepdims=True)
     p = jnp.where(md.mask[None] & (tot > 0), pc / jnp.where(tot > 0, tot, 1.0),
@@ -50,6 +69,10 @@ def _normalize_p(pc: Array, md: ModelData, cfg: EMConfig) -> Array:
     if cfg.do_projection:
         p = project_rows(p, md.mask[None], md.n_alleles[None, :],
                          cfg.p_lower_bound)
+        kv = _k_valid(cfg, p.shape[0])
+        if kv is not None:
+            # keep K-padding rows exactly zero (projection would lift them)
+            p = jnp.where(kv[:, None, None], p, 0.0)
     return p
 
 
@@ -88,8 +111,7 @@ def _em_step_unconstrained(params, md, cfg):
     eta_new = jnp.where(tot_eta > 0,
                         eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0), eta)
     if cfg.do_projection:
-        eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
-                               cfg.eta_lower_bound)
+        eta_new = _project_eta_rows(eta_new, cfg)
 
     # p update: sum_i d_iklm = p_klm (B_klm + C_kl)
     B = (eta.T @ w).reshape(K, md.L, md.M)            # [K, LM] (MXU)
@@ -106,42 +128,65 @@ def _em_step_unconstrained_pallas(params, md, cfg):
     """Pallas path: the [I, LM] denominators/weights never touch HBM
     (ops/kernels.py); identical math to _em_step_unconstrained.
 
-    Prefers the single-pass fused kernel (x streamed once, denominator
-    matmul once per tile, B resident in VMEM); falls back to the two-pass
-    kernels when B would not fit (very large LM)."""
-    from multiclust_tpu.ops.kernels import admixture_sweep_fused, \
-        admixture_sweep_stats, fused_fits, pad_for_kernel
+    Prefers the single-kernel FULL step (x streamed once, denominator
+    matmul once per tile, B resident in VMEM, eta update+projection done
+    on-chip at the last l step, eta buffer aliased in place) when the
+    parameters carry the K-padded layout (cfg.k_true) and the shapes tile;
+    otherwise the fused-sweep kernel with the epilogue in XLA; two-pass
+    kernels when B would not fit in VMEM (very large LM)."""
+    from multiclust_tpu.ops.kernels import admixture_fullstep, \
+        admixture_sweep_fused, admixture_sweep_stats, fused_fits, \
+        pad_for_kernel, pick_tile
 
     eta, p = params.eta, params.p
     K = params.K
     p2 = p.reshape(K, -1)
     # keep x in its storage dtype (possibly int8): the kernels cast tiles
-    # in VMEM, so HBM sees 1 byte/cell instead of 4
-    x2 = md.x.reshape(md.I, md.L * md.M)
-    eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, x2)
+    # in VMEM, so HBM sees 1 byte/cell instead of 4; prefer the
+    # pre-flattened alias (md.prepare_for_em) so the reshape-relayout
+    # happens outside the EM loop, not per iteration
+    x2 = md.x_storage_2d
     interpret = cfg.use_pallas == "interpret"
-    if fused_fits(eta_p.shape[1], p2_p.shape[1]):
-        A_p, t_p, B_p = admixture_sweep_fused(
-            eta_p, p2_p, x2_p, interpret=interpret)
+
+    ti = pick_tile(md.I)
+    padded = cfg.k_true and K % 128 == 0 and eta.shape[-1] == K
+    if padded and ti and fused_fits(K, -(-md.L * md.M // 512) * 512):
+        LM = md.L * md.M
+        LMp = -(-LM // 512) * 512
+        if LMp != LM:  # x2 is loop-invariant: XLA hoists this pad
+            x2 = jnp.pad(x2, ((0, 0), (0, LMp - LM)))
+            p2 = jnp.pad(p2, ((0, 0), (0, LMp - LM)))
+        c = (jnp.sum(md.miss, axis=1, keepdims=True) if cfg.has_missing
+             else jnp.zeros((md.I, 1), eta.dtype))
+        eta_new, per_i, B = admixture_fullstep(
+            eta, p2, x2, c, ti=ti, tl=512, k_true=cfg.k_true,
+            lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
+            interpret=interpret)
+        B = B[:, :LM]
     else:
-        A_p, t_p, B_p = admixture_sweep_stats(
-            eta_p, p2_p, x2_p, interpret=interpret)
-    A = A_p[:I, :K]
-    B = B_p[:K, :LM]
-    per_i = t_p[:I]
+        eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, x2)
+        if fused_fits(eta_p.shape[1], p2_p.shape[1]):
+            A_p, t_p, B_p = admixture_sweep_fused(
+                eta_p, p2_p, x2_p, interpret=interpret)
+        else:
+            A_p, t_p, B_p = admixture_sweep_stats(
+                eta_p, p2_p, x2_p, interpret=interpret)
+        A = A_p[:I, :K]
+        B = B_p[:K, :LM]
+        per_i = t_p[:I]
+
+        if cfg.has_missing:
+            A = A + jnp.sum(md.miss, axis=1, keepdims=True)
+        eta_num = eta * A
+        tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
+        eta_new = jnp.where(tot_eta > 0,
+                            eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0),
+                            eta)
+        if cfg.do_projection:
+            eta_new = _project_eta_rows(eta_new, cfg)
 
     ll = df64.df_sum(per_i)
     scale = jnp.sqrt(jnp.sum(per_i * per_i))
-
-    if cfg.has_missing:
-        A = A + jnp.sum(md.miss, axis=1, keepdims=True)
-    eta_num = eta * A
-    tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
-    eta_new = jnp.where(tot_eta > 0,
-                        eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0), eta)
-    if cfg.do_projection:
-        eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
-                               cfg.eta_lower_bound)
 
     B = B.reshape(K, md.L, md.M)
     if cfg.has_missing:
@@ -171,8 +216,7 @@ def _em_step_constrained(params, md, cfg):
     eta_num = eta * a
     eta_new = eta_num / jnp.sum(eta_num)
     if cfg.do_projection:
-        eta_new = project_rows(eta_new, jnp.ones((K,), bool), K,
-                               cfg.eta_lower_bound)
+        eta_new = _project_eta_rows(eta_new, cfg)
 
     pc = p * S.reshape(1, md.L, md.M)
     p_new = _normalize_p(pc, md, cfg)

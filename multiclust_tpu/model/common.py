@@ -43,6 +43,13 @@ class ModelData(NamedTuple):
     mask: Array       # [L, M] bool valid allele lanes
     n_alleles: Array  # [L] int32 valid lanes per locus
     row_valid: Optional[Array] = None  # [I] bool or None
+    # optional [I, L*M] alias of x in storage dtype, row-major.  XLA lays
+    # the 3-D int8 parameter out column-ish and then re-runs the
+    # reshape-relayout copy on EVERY while-loop iteration; hoisting the
+    # flatten to once per jitted segment (prepare_for_em) removes a
+    # 1 byte/cell copy from the EM hot loop.  Derived data: any _replace
+    # that touches x must reset it (or call prepare_for_em again).
+    x_flat: Optional[Array] = None
 
     @property
     def I(self) -> int:  # noqa: E743
@@ -69,10 +76,26 @@ class ModelData(NamedTuple):
         ploidy); the cast happens here and XLA fuses or materializes it per
         consumer.  The compute dtype is taken from ``miss``.
         """
-        x = self.x.reshape(self.I, self.L * self.M)
+        x = self.x_flat
+        if x is None:
+            x = self.x.reshape(self.I, self.L * self.M)
         if x.dtype != self.miss.dtype:
             x = x.astype(self.miss.dtype)
         return x
+
+    @property
+    def x_storage_2d(self) -> Array:
+        """[I, LM] counts in the STORAGE dtype (no cast; Pallas kernels
+        cast tiles in VMEM)."""
+        if self.x_flat is not None:
+            return self.x_flat
+        return self.x.reshape(self.I, self.L * self.M)
+
+    def prepare_for_em(self) -> "ModelData":
+        """Populate ``x_flat`` (call once per jitted segment, BEFORE the EM
+        while-loop, so the flatten/relayout happens once, not per
+        iteration)."""
+        return self._replace(x_flat=self.x.reshape(self.I, self.L * self.M))
 
 
 class EMConfig(NamedTuple):
@@ -101,6 +124,11 @@ class EMConfig(NamedTuple):
     # (c_i = sum_l miss_il and C = eta^T miss, em_alg.c:400-431) entirely -
     # a static, trace-time decision made from the dataset by the caller.
     has_missing: bool = True
+    # True number of clusters when the parameters carry K-padded rows/lanes
+    # (pad entries zero, kept zero by masked projections).  The Pallas path
+    # wants eta [I, 128k] and p [128k, L, M] so no per-iteration lane
+    # pad/relayout is needed; 0 = parameters are unpadded (K = p.shape[0]).
+    k_true: int = 0
 
     @property
     def eta_is_vector(self) -> bool:
@@ -137,7 +165,38 @@ def collapse_for_constrained(md: ModelData) -> ModelData:
         x=jnp.sum(md.x.astype(md.miss.dtype), axis=0, keepdims=True),
         miss=jnp.sum(md.miss, axis=0, keepdims=True),
         row_valid=None,
+        x_flat=None,
     )
+
+
+def k_padded_size(K: int, multiple: int = 128) -> int:
+    """Lane-aligned padded cluster count for the K-padded layout."""
+    return -(-K // multiple) * multiple
+
+
+def pad_params_k(params: Params, k_pad: int) -> Params:
+    """Zero-pad admixture params to ``k_pad`` clusters (batched OK):
+    eta [..., I, K] -> [..., I, k_pad]; p [..., K, L, M] -> [..., k_pad, L, M].
+
+    Pad entries are zero and contribute nothing to denominators, updates or
+    likelihoods; the masked projections (cfg.k_true) keep them zero."""
+    K = params.p.shape[-3]
+    if k_pad <= K:
+        return params
+    d = k_pad - K
+    pw_eta = [(0, 0)] * (params.eta.ndim - 1) + [(0, d)]
+    pw_p = [(0, 0)] * (params.p.ndim - 3) + [(0, d), (0, 0), (0, 0)]
+    return Params(eta=jnp.pad(params.eta, pw_eta),
+                  p=jnp.pad(params.p, pw_p))
+
+
+def unpad_params_k(params: Params, k_true: int) -> Params:
+    """Inverse of pad_params_k (batched OK)."""
+    K = params.p.shape[-3]
+    if k_true >= K:
+        return params
+    return Params(eta=params.eta[..., :k_true],
+                  p=params.p[..., :k_true, :, :])
 
 
 def safe_log(x: Array, valid: Optional[Array] = None) -> Array:

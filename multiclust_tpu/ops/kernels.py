@@ -54,6 +54,148 @@ def fused_fits(Kp: int, LMp: int) -> bool:
     return Kp * LMp * 4 <= FUSED_B_VMEM_LIMIT
 
 
+def pick_tile(n: int, prefs=(256, 128, 64, 32, 16, 8)) -> int:
+    """Largest preferred tile dividing n, or 0 if none does."""
+    for t in prefs:
+        if n % t == 0:
+            return t
+    return 0
+
+
+def _michelot_tile(v, k_true: int, lb: float):
+    """In-kernel batched Michelot projection of [ti, Kp] rows onto
+    {x >= lb on lanes < k_true, sum = 1}; pad lanes forced to zero.
+    Same algorithm as ops/simplex.project_rows (michelot_project,
+    simplex.c:109-143).  The loop carries float 0/1 masks instead of bools:
+    Mosaic cannot legalize i1 vectors through scf.while."""
+    f32 = v.dtype
+    lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    maskf = jnp.where(lanes < k_true, jnp.asarray(1.0, f32),
+                      jnp.asarray(0.0, f32))
+    w0 = v * maskf
+    done0 = jnp.zeros((v.shape[0], 1), f32)
+
+    def cond(st):
+        return jnp.min(st[2]) < 0.5
+
+    def body(st):
+        w, free, done = st
+        nf = jnp.sum(free, axis=1, keepdims=True)
+        cs = jnp.sum(w, axis=1, keepdims=True)
+        off = (cs - 1.0) / jnp.maximum(nf, 1.0)
+        upd = free * (1.0 - done)
+        w2 = w - off * upd
+        newly = upd * jnp.where(w2 < lb, jnp.asarray(1.0, f32),
+                                jnp.asarray(0.0, f32))
+        w3 = jnp.where(newly > 0.5, jnp.asarray(lb, f32), w2)
+        clamped = jnp.max(newly, axis=1, keepdims=True)
+        free2 = free * (1.0 - newly)
+        empty = jnp.where(jnp.sum(free2, axis=1, keepdims=True) < 0.5,
+                          jnp.asarray(1.0, f32), jnp.asarray(0.0, f32))
+        done2 = jnp.maximum(done, jnp.maximum(1.0 - clamped, empty))
+        return w3, free2, done2
+
+    w, _, _ = jax.lax.while_loop(cond, body, (w0, maskf, done0))
+    return w * maskf
+
+
+def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, etan_ref, t_ref, b_ref,
+                     a_scr, *, tl: int, n_l: int, k_true: int, lb: float,
+                     project: bool):
+    i_idx = pl.program_id(0)
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _():
+        a_scr[:] = jnp.zeros_like(a_scr)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    @pl.when(jnp.logical_and(i_idx == 0, l_idx == 0))
+    def _():
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    eta = eta_ref[:]
+    denom = jnp.dot(eta, p_ref[:], preferred_element_type=jnp.float32)
+    xb = x_ref[:].astype(jnp.float32)
+    pos = xb > 0
+    safe_d = jnp.where(denom > 0, denom, 1.0)
+    w = jnp.where(pos, xb / safe_d, 0.0)
+    t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+    a_scr[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
+    t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
+    col = pl.multiple_of(l_idx * tl, tl)
+    b_ref[:, pl.ds(col, tl)] += jnp.dot(
+        eta.T, w, preferred_element_type=jnp.float32)
+
+    # the i-block's A is complete at the last l step: finish the eta update
+    # (m_step_admixture_orig eta normalization, em_alg.c:611-637, plus the
+    # projection) entirely on-chip and emit eta_new
+    @pl.when(l_idx == n_l - 1)
+    def _():
+        A = a_scr[:] + c_ref[:]
+        num = eta_ref[:] * A
+        tot = jnp.sum(num, axis=1, keepdims=True)
+        e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
+                       eta_ref[:])
+        if project:
+            e2 = _michelot_tile(e2, k_true, lb)
+        etan_ref[:] = e2
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ti", "tl", "k_true", "lb", "project", "interpret"))
+def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
+                       lb: float, project: bool, interpret: bool = False):
+    """Fused sweep + complete eta update in ONE kernel.
+
+    Args: eta [I, Kp] (K-padded layout, pads zero), p2 [Kp, LMp],
+    x2 [I, LMp] (any count dtype), c [I, 1] per-individual missing-copy
+    totals (zeros when the dataset has none).
+    Returns: eta_new [I, Kp] (normalized + projected, pads zero; buffer
+    ALIASED onto the eta input so the EM loop carry is in-place),
+    t [I] per-individual logL terms, B [Kp, LMp] p-update numerators.
+    """
+    I, Kp = eta.shape
+    LMp = p2.shape[1]
+    assert I % ti == 0 and LMp % tl == 0 and Kp % 128 == 0, (I, ti, LMp, tl)
+    assert fused_fits(Kp, LMp), (Kp, LMp)
+    n_i, n_l = I // ti, LMp // tl
+    f32 = jnp.float32
+
+    etan, t_out, b_out = pl.pallas_call(
+        functools.partial(_fullstep_kernel, tl=tl, n_l=n_l, k_true=k_true,
+                          lb=lb, project=project),
+        grid=(n_i, n_l),
+        in_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, LMp), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((I, Kp), f32),
+            jax.ShapeDtypeStruct((I, 1), f32),
+            jax.ShapeDtypeStruct((Kp, LMp), f32),
+        ],
+        input_output_aliases={0: 0},
+        scratch_shapes=[pltpu.VMEM((ti, Kp), f32)],
+        interpret=interpret,
+    )(eta, p2, x2, c)
+    return etan, t_out[:, 0], b_out
+
+
 def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int):
     i_idx = pl.program_id(0)
     l_idx = pl.program_id(1)

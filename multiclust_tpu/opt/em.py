@@ -293,14 +293,16 @@ def qn1_point(x0: Params, u: Params, v: Params, s: Array) -> Params:
 
 
 def _project_params(params: Params, md: ModelData, cfg: EMConfig) -> Params:
+    from multiclust_tpu.model.admixture import _k_valid, _project_eta_rows
     from multiclust_tpu.ops.simplex import project_rows
     if not cfg.do_projection:
         return params
-    K = params.K
-    eta = params.eta
-    eta = project_rows(eta, jnp.ones((K,), bool), K, cfg.eta_lower_bound)
+    eta = _project_eta_rows(params.eta, cfg)
     p = project_rows(params.p, md.mask[None], md.n_alleles[None, :],
                      cfg.p_lower_bound)
+    kv = _k_valid(cfg, p.shape[0])
+    if kv is not None:
+        p = jnp.where(kv[:, None, None], p, 0.0)
     return Params(eta=eta, p=p)
 
 

@@ -82,6 +82,9 @@ def param_specs(per_individual_eta: bool) -> Params:
 
 
 def shard_model_data(md: ModelData, mesh: Mesh) -> ModelData:
+    # x_flat is derived data (prepare_for_em re-derives it inside jit with
+    # the sharding propagated from x); don't ship it across the mesh
+    md = md._replace(x_flat=None)
     specs = data_specs(md.row_valid is not None)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), md, specs)

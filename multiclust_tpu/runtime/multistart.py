@@ -45,6 +45,7 @@ def cfg_from_options(opt: Options, K: int,
     if md is not None:
         has_missing = bool(jax.device_get(jnp.any(md.miss > 0)))
     use_pallas, _ = opt.device_policy()
+    k_true = K if (opt.admixture and not opt.eta_constrained) else 0
     return EMConfig(
         admixture=opt.admixture, eta_constrained=opt.eta_constrained,
         do_projection=opt.do_projection,
@@ -55,7 +56,24 @@ def cfg_from_options(opt: Options, K: int,
         q=opt.q, n_init_iter=opt.n_init_iter, adjust_step=opt.adjust_step,
         monotonicity=opt.monotonicity,
         use_pallas="on" if use_pallas else "off",
-        has_missing=has_missing)
+        has_missing=has_missing, k_true=k_true)
+
+
+def _pad_k(params: Params, cfg: EMConfig) -> Params:
+    """K-pad admixture params to the Pallas lane layout (eta [.., I, 128k],
+    p [.., 128k, L, M], pads zero); no-op for the XLA/CPU paths."""
+    if (cfg.use_pallas != "off" and cfg.admixture
+            and not cfg.eta_constrained and cfg.k_true):
+        from multiclust_tpu.model.common import k_padded_size, pad_params_k
+        return pad_params_k(params, k_padded_size(cfg.k_true))
+    return params
+
+
+def _unpad_k(params: Params, cfg: EMConfig) -> Params:
+    if cfg.k_true and params.p.shape[-3] != cfg.k_true:
+        from multiclust_tpu.model.common import unpad_params_k
+        return unpad_params_k(params, cfg.k_true)
+    return params
 
 
 @dataclasses.dataclass
@@ -104,6 +122,7 @@ def _batch_fns(cfg: EMConfig, segment: int):
     body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
 
     def prologue_one(state, md):
+        md = md.prepare_for_em()
         for _ in range(cfg.n_init_iter):
             state = em_mod.plain_step(state, md, cfg)
         if accel:
@@ -112,6 +131,7 @@ def _batch_fns(cfg: EMConfig, segment: int):
         return state
 
     def seg_one(state, md):
+        md = md.prepare_for_em()  # flatten x ONCE, outside the loop
         return jax.lax.fori_loop(
             0, segment, lambda i, s: body(s, md, cfg), state)
 
@@ -165,6 +185,7 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
     if warm is not None:
         # -Q/-P warm start: every init identical (initialize_model,
         # rnd_init.c:74-76)
+        warm = _pad_k(warm, cfg)
         return tree_map(lambda x: jnp.broadcast_to(x[None], (1,) + x.shape),
                         warm), 1
 
@@ -176,7 +197,7 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
         procedure=opt.initialization_procedure,
         n_rand_em_init=opt.n_rand_em_init, codes=codes,
         md_score=md_score)
-    return jax.vmap(lambda k: init_fn(k))(keys), B
+    return _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg), B
 
 
 
@@ -254,7 +275,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
             procedure=opt.initialization_procedure,
             n_rand_em_init=opt.n_rand_em_init, codes=codes,
             md_score=md_fit)
-        return jax.vmap(init_fn)(keys)
+        return _pad_k(jax.vmap(init_fn)(keys), cfg)
 
     key, sub = jax.random.split(key)
     state = mk_state(make_inits(sub, B), md_fit)
@@ -279,7 +300,8 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     res, opt, n_parameters, md.I, float(lls[lane]),
                     bool(convs[lane]), int(iters[lane]),
                     bool(faileds[lane]), bool(monos[lane]),
-                    lambda ln=lane: tree_map(lambda t: t[ln], state.params),
+                    lambda ln=lane: _unpad_k(
+                        tree_map(lambda t: t[ln], state.params), cfg),
                     timed_out)
                 if done:
                     return
@@ -324,8 +346,8 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                         res, opt, n_parameters, md.I, float(lls[lane]),
                         bool(convs[lane]), int(iters[lane]),
                         bool(faileds[lane]), bool(monos[lane]),
-                        lambda ln=lane: tree_map(lambda t: t[ln],
-                                                 state.params),
+                        lambda ln=lane: _unpad_k(
+                            tree_map(lambda t: t[ln], state.params), cfg),
                         True):
                     return
             res.time_stop = True
@@ -371,7 +393,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         params = _single_init(key, md, K, cfg, opt, codes, warm)
         state = k1(params, md_fit)
         ll = float(state.logL_hi + state.logL_lo)
-        res.best_params = state.params
+        res.best_params = _unpad_k(state.params, cfg)
         res.max_logL = res.first_max_logL = ll
         res.aic = aic_fn(ll, n_parameters)
         res.bic = bic_fn(ll, n_parameters, md.I)
@@ -423,7 +445,8 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 res, opt, n_parameters, md.I, float(lls[lane]),
                 bool(convs[lane]), int(iters[lane]), bool(faileds[lane]),
                 bool(monos[lane]),
-                lambda ln=lane: tree_map(lambda t: t[ln], states.params),
+                lambda ln=lane: _unpad_k(
+                    tree_map(lambda t: t[ln], states.params), cfg),
                 timed_out)
             if done:
                 break
@@ -475,12 +498,12 @@ def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0):
 
 def _single_init(key, md, K, cfg, opt, codes, warm, md_score=None):
     if warm is not None:
-        return warm
-    return rinit.initialize(
+        return _pad_k(warm, cfg)
+    return _pad_k(rinit.initialize(
         key, md, K, cfg, method=opt.initialization_method,
         procedure=opt.initialization_procedure,
         n_rand_em_init=opt.n_rand_em_init, codes=codes,
-        md_score=md_score)
+        md_score=md_score), cfg)
 
 
 def hard_partition(params: Params, md: ModelData, admixture: bool):

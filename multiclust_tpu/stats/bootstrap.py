@@ -88,7 +88,8 @@ def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
         key, ksim, kfit = jax.random.split(key, 3)
         counts = simulate_replicate(ksim, h0_params, md, ploidy,
                                     opt.admixture)
-        md_rep = md._replace(x=counts.astype(md.x.dtype))  # keeps storage dtype
+        md_rep = md._replace(x=counts.astype(md.x.dtype),  # keeps storage dtype
+                             x_flat=None)
         codes = None
         if opt.admixture:
             codes = jnp.asarray(codes_from_counts(

@@ -69,11 +69,54 @@ def _pad_k(params: Params, cfg: EMConfig) -> Params:
     return params
 
 
-def _unpad_k(params: Params, cfg: EMConfig) -> Params:
+def _unpad_k(params: Params, cfg: EMConfig,
+             n_rows: Optional[int] = None) -> Params:
     if cfg.k_true and params.p.shape[-3] != cfg.k_true:
         from multiclust_tpu.model.common import unpad_params_k
-        return unpad_params_k(params, cfg.k_true)
+        params = unpad_params_k(params, cfg.k_true)
+    if (n_rows is not None and params.eta.ndim >= 2
+            and params.eta.shape[-2] != n_rows):
+        params = params._replace(eta=params.eta[..., :n_rows, :])
     return params
+
+
+def _row_pad_target(I: int, cfg: EMConfig) -> int:
+    """Rows to pad the chain state/data to so the full-step Pallas kernel
+    can tile the individual axis (0 = leave unpadded).  Pad rows carry zero
+    counts/missing and uniform eta - an exact fixed point of the EM update,
+    so secant pairs and step sizes see zeros there."""
+    if not (cfg.use_pallas != "off" and cfg.admixture
+            and not cfg.eta_constrained and cfg.k_true):
+        return 0
+    from multiclust_tpu.ops.kernels import pick_tile
+    if pick_tile(I) >= 64:
+        return 0
+    m = 256 if I >= 2048 else 64
+    return -(-I // m) * m
+
+
+def _pad_md_rows(md: ModelData, Ip: int) -> ModelData:
+    d = Ip - md.I
+    if d <= 0:
+        return md
+    return md._replace(
+        x=jnp.pad(md.x, ((0, d), (0, 0), (0, 0))),
+        miss=jnp.pad(md.miss, ((0, d), (0, 0))),
+        row_valid=(None if md.row_valid is None
+                   else jnp.pad(md.row_valid, (0, d))),
+        x_flat=None)
+
+
+def _pad_params_rows(params: Params, Ip: int, cfg: EMConfig) -> Params:
+    d = Ip - params.eta.shape[-2]
+    if d <= 0:
+        return params
+    row = jnp.zeros((params.eta.shape[-1],), params.eta.dtype)
+    kt = cfg.k_true or params.eta.shape[-1]
+    row = row.at[:kt].set(1.0 / kt)
+    pad = jnp.broadcast_to(row, params.eta.shape[:-2] + (d, row.shape[0]))
+    return params._replace(
+        eta=jnp.concatenate([params.eta, pad], axis=-2))
 
 
 @dataclasses.dataclass
@@ -121,8 +164,16 @@ def _batch_fns(cfg: EMConfig, segment: int):
     accel = cfg.accel_scheme != int(AccelScheme.NONE)
     body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
 
+    def prep(md):
+        """Row-pad for kernel tiling + flatten x, ONCE per jitted segment
+        (shapes are static at trace time, so this is a trace-time branch)."""
+        Ip = _row_pad_target(md.I, cfg)
+        if Ip:
+            md = _pad_md_rows(md, Ip)
+        return md.prepare_for_em()
+
     def prologue_one(state, md):
-        md = md.prepare_for_em()
+        md = prep(md)
         for _ in range(cfg.n_init_iter):
             state = em_mod.plain_step(state, md, cfg)
         if accel:
@@ -131,11 +182,14 @@ def _batch_fns(cfg: EMConfig, segment: int):
         return state
 
     def seg_one(state, md):
-        md = md.prepare_for_em()  # flatten x ONCE, outside the loop
+        md = prep(md)
         return jax.lax.fori_loop(
             0, segment, lambda i, s: body(s, md, cfg), state)
 
     def init_one(params, md):
+        Ip = _row_pad_target(md.I, cfg)
+        if Ip:
+            params = _pad_params_rows(params, Ip, cfg)
         return em_mod.init_state(params, cfg)
 
     def refill_one(state, params, replace, md):
@@ -301,7 +355,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     bool(convs[lane]), int(iters[lane]),
                     bool(faileds[lane]), bool(monos[lane]),
                     lambda ln=lane: _unpad_k(
-                        tree_map(lambda t: t[ln], state.params), cfg),
+                        tree_map(lambda t: t[ln], state.params), cfg, md.I),
                     timed_out)
                 if done:
                     return
@@ -347,7 +401,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                         bool(convs[lane]), int(iters[lane]),
                         bool(faileds[lane]), bool(monos[lane]),
                         lambda ln=lane: _unpad_k(
-                            tree_map(lambda t: t[ln], state.params), cfg),
+                            tree_map(lambda t: t[ln], state.params), cfg, md.I),
                         True):
                     return
             res.time_stop = True
@@ -446,7 +500,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 bool(convs[lane]), int(iters[lane]), bool(faileds[lane]),
                 bool(monos[lane]),
                 lambda ln=lane: _unpad_k(
-                    tree_map(lambda t: t[ln], states.params), cfg),
+                    tree_map(lambda t: t[ln], states.params), cfg, md.I),
                 timed_out)
             if done:
                 break

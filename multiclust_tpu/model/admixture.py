@@ -136,7 +136,7 @@ def _em_step_unconstrained_pallas(params, md, cfg):
     kernels when B would not fit in VMEM (very large LM)."""
     from multiclust_tpu.ops.kernels import admixture_fullstep, \
         admixture_sweep_fused, admixture_sweep_stats, fused_fits, \
-        pad_for_kernel, pick_tile
+        pad_for_kernel, pick_layout
 
     eta, p = params.eta, params.p
     K = params.K
@@ -148,18 +148,19 @@ def _em_step_unconstrained_pallas(params, md, cfg):
     x2 = md.x_storage_2d
     interpret = cfg.use_pallas == "interpret"
 
-    ti = pick_tile(md.I)
     padded = cfg.k_true and K % 128 == 0 and eta.shape[-1] == K
-    if padded and ti and fused_fits(K, -(-md.L * md.M // 512) * 512):
+    ti = tl = LMp = 0
+    if padded:
+        ti, tl, LMp = pick_layout(md.I, K, md.L * md.M)
+    if ti:
         LM = md.L * md.M
-        LMp = -(-LM // 512) * 512
         if LMp != LM:  # x2 is loop-invariant: XLA hoists this pad
             x2 = jnp.pad(x2, ((0, 0), (0, LMp - LM)))
             p2 = jnp.pad(p2, ((0, 0), (0, LMp - LM)))
         c = (jnp.sum(md.miss, axis=1, keepdims=True) if cfg.has_missing
              else jnp.zeros((md.I, 1), eta.dtype))
         eta_new, per_i, B = admixture_fullstep(
-            eta, p2, x2, c, ti=ti, tl=512, k_true=cfg.k_true,
+            eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
             lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
             interpret=interpret)
         B = B[:, :LM]

@@ -62,6 +62,55 @@ def pick_tile(n: int, prefs=(256, 128, 64, 32, 16, 8)) -> int:
     return 0
 
 
+# (ti, tl, max B bytes) combos for the fullstep kernel, fastest first, all
+# VMEM-fit verified on v5e (larger combos blow the 16 MB scoped-vmem stack:
+# e.g. 1024x1024 needs 17.3 MB at B=2MB, 1024x512 fails at B=8MB).
+# Measured on the bench shape (I=16k, LM=4k, Kp=128): 1024x512 125.5,
+# 512x1024 121.3, 512x512 117.7, 256x512 90.5 Gcells/s.
+_FULLSTEP_TILES = (
+    (1024, 512, 5 * 1024 * 1024),
+    (512, 1024, 5 * 1024 * 1024),
+    (512, 512, FUSED_B_VMEM_LIMIT),
+    (256, 512, FUSED_B_VMEM_LIMIT),
+    (128, 512, FUSED_B_VMEM_LIMIT),
+    (64, 512, FUSED_B_VMEM_LIMIT),
+    (32, 512, FUSED_B_VMEM_LIMIT),
+    (16, 512, FUSED_B_VMEM_LIMIT),
+    (8, 512, FUSED_B_VMEM_LIMIT),
+)
+
+
+def pick_tiles(I: int, Kp: int, LMp: int):
+    """Fastest verified (ti, tl) for the fullstep kernel, or (0, 0) if no
+    combo divides the shapes within the VMEM budget."""
+    b_bytes = Kp * LMp * 4
+    for ti, tl, b_max in _FULLSTEP_TILES:
+        if I % ti == 0 and LMp % tl == 0 and b_bytes <= b_max:
+            return ti, tl
+    return 0, 0
+
+
+def pick_layout(I: int, Kp: int, LM: int):
+    """Fastest verified (ti, tl, LMp) for the fullstep kernel, choosing the
+    LM zero-padding that unlocks the largest tile (the pad lanes cost at
+    most tl-1 dead columns, far less than the tile-size win).  Returns
+    (0, 0, 0) if nothing fits."""
+    for ti, tl, b_max in _FULLSTEP_TILES:
+        LMp = _round_up(LM, tl)
+        if I % ti == 0 and Kp * LMp * 4 <= b_max:
+            return ti, tl, LMp
+    return 0, 0, 0
+
+
+def _recip(d):
+    """Newton-refined approximate reciprocal: the VPU's approx-mode rsqrt-
+    style reciprocal (~12 bits) plus one Newton step (~f32, error O(1 ulp)).
+    ~13% faster than the divide at the EM sweep's operational intensity,
+    and well below the bf16 MXU noise floor of the surrounding matmuls."""
+    r = pl.reciprocal(d, approx=True)
+    return r * (2.0 - d * r)
+
+
 def _michelot_tile(v, k_true: int, lb: float):
     """In-kernel batched Michelot projection of [ti, Kp] rows onto
     {x >= lb on lanes < k_true, sum = 1}; pad lanes forced to zero.
@@ -119,7 +168,7 @@ def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, etan_ref, t_ref, b_ref,
     xb = x_ref[:].astype(jnp.float32)
     pos = xb > 0
     safe_d = jnp.where(denom > 0, denom, 1.0)
-    w = jnp.where(pos, xb / safe_d, 0.0)
+    w = jnp.where(pos, xb * _recip(safe_d), 0.0)
     t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
     a_scr[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
     t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
@@ -214,7 +263,7 @@ def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int):
     xb = x_ref[:].astype(jnp.float32)
     pos = xb > 0
     safe_d = jnp.where(denom > 0, denom, 1.0)
-    w = jnp.where(pos, xb / safe_d, 0.0)
+    w = jnp.where(pos, xb * _recip(safe_d), 0.0)
     t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
     a_ref[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
     t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
@@ -280,8 +329,9 @@ def _istats_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref):
                     preferred_element_type=jnp.float32)       # [TI, TL]
     xb = x_ref[:].astype(jnp.float32)
     pos = xb > 0
-    w = jnp.where(pos, xb / jnp.where(denom > 0, denom, 1.0), 0.0)
-    t = jnp.where(pos, xb * jnp.log(jnp.where(denom > 0, denom, 1.0)), 0.0)
+    safe_d = jnp.where(denom > 0, denom, 1.0)
+    w = jnp.where(pos, xb * _recip(safe_d), 0.0)
+    t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
     a_ref[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
     t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
 
@@ -296,7 +346,8 @@ def _lstats_kernel(eta_ref, p_ref, x_ref, b_ref):
     denom = jnp.dot(eta_ref[:], p_ref[:],
                     preferred_element_type=jnp.float32)       # [TI, TL]
     xb = x_ref[:].astype(jnp.float32)
-    w = jnp.where(xb > 0, xb / jnp.where(denom > 0, denom, 1.0), 0.0)
+    w = jnp.where(xb > 0, xb * _recip(jnp.where(denom > 0, denom, 1.0)),
+                  0.0)
     b_ref[:] += jnp.dot(eta_ref[:].T, w,
                         preferred_element_type=jnp.float32)
 

@@ -88,10 +88,19 @@ def _row_pad_target(I: int, cfg: EMConfig) -> int:
     if not (cfg.use_pallas != "off" and cfg.admixture
             and not cfg.eta_constrained and cfg.k_true):
         return 0
-    from multiclust_tpu.ops.kernels import pick_tile
-    if pick_tile(I) >= 64:
+    # pad toward the fullstep tile ladder (ops/kernels._FULLSTEP_TILES):
+    # large datasets earn the 1024/512-row tiles (~+30% sweep throughput),
+    # small ones keep the pad overhead bounded
+    if I >= 8192:
+        m = 1024
+    elif I >= 4096:
+        m = 512
+    elif I >= 2048:
+        m = 256
+    else:
+        m = 64
+    if I % m == 0:
         return 0
-    m = 256 if I >= 2048 else 64
     return -(-I // m) * m
 
 

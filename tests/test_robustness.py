@@ -42,8 +42,9 @@ def test_monotonicity_fatal_mode(rng):
     params = Params(eta=jnp.asarray(eta, jnp.float64),
                     p=jnp.asarray(p, jnp.float64))
     state = em_mod.init_state(params, cfg)
+    step = jax.jit(em_mod.plain_step, static_argnums=2)
     for _ in range(3000):
-        state = em_mod.plain_step(state, md, cfg)
+        state = step(state, md, cfg)
         if bool(state.stopped):
             break
     assert not bool(state.failed)

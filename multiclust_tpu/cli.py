@@ -106,6 +106,19 @@ def parse_args(argv: List[str]) -> Options:
         elif a == "m":
             if name.startswith("mi"):
                 opt.missing_value = int(_need(argv, i, arg)); i += 1
+            elif name.startswith("me"):
+                # --mesh DxM: (data_shards, loci_shards) device mesh for
+                # the production fit path; "auto" = all devices on data
+                spec = _need(argv, i, arg); i += 1
+                if spec == "auto":
+                    opt.mesh_shape = (-1, 1)  # resolved at run time
+                else:
+                    try:
+                        d, m_ = spec.lower().split("x")
+                        opt.mesh_shape = (int(d), int(m_))
+                    except ValueError:
+                        raise UsageError(
+                            f"--mesh wants DxM or 'auto', got '{spec}'")
             else:
                 opt.n_rand_em_init = int(_need(argv, i, arg)); i += 1
                 if opt.n_rand_em_init == 0:
@@ -253,6 +266,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     opt = parse_args(argv)
     if platform == "cpu":
         opt.dtype = "float64"  # reference-precision semantics on CPU
+
+    # multi-host bring-up (no-op single-process; SURVEY.md section 5:
+    # jax.distributed + XLA collectives replace the reference's
+    # fan-out-processes-by-hand -M mode for real scaling)
+    import os as _os
+
+    from multiclust_tpu.runtime.mesh import initialize_distributed
+    _np_env = _os.environ.get("MULTICLUST_NUM_PROCESSES")
+    initialize_distributed(
+        coordinator_address=_os.environ.get("MULTICLUST_COORDINATOR"),
+        num_processes=int(_np_env) if _np_env else None,
+        process_id=(int(_os.environ["MULTICLUST_PROCESS_ID"])
+                    if "MULTICLUST_PROCESS_ID" in _os.environ else None))
+    if opt.mesh_shape and opt.mesh_shape[0] == -1:
+        # --mesh auto: every device on the data axis
+        mm = opt.mesh_shape[1]
+        opt.mesh_shape = (len(jax.devices()) // mm, mm)
+    if opt.mesh_shape == (1, 1):
+        opt.mesh_shape = None  # single device: skip mesh machinery
+
     key = jax.random.PRNGKey(opt.seed)
 
     if opt.simulate:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,6 +85,89 @@ def em_step(params: Params, md: ModelData,
     if cfg.use_pallas != "off" and params.p.dtype == jnp.float32:
         return _em_step_unconstrained_pallas(params, md, cfg)
     return _em_step_unconstrained(params, md, cfg)
+
+
+def _sharded_fullstep(params, md, cfg, p2, x2, interpret):
+    """Pallas full step under jax.shard_map over the data axis (loci
+    unsharded): each shard runs the fused kernel on its I-rows - the
+    in-kernel eta update is purely per-individual, hence shard-local - and
+    the p-update numerators B are psum-merged across data shards
+    (SURVEY.md section 2.3: E-step embarrassingly parallel over i, M-step
+    merges are psums).  Returns (eta_new, per_i, B2d) or None when the
+    local shapes don't tile."""
+    from jax.sharding import PartitionSpec as P
+
+    from multiclust_tpu.ops.kernels import admixture_fullstep, pick_layout
+    from multiclust_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
+
+    dd = cfg.data_shards
+    K = params.K
+    LM = md.L * md.M
+    if md.I % dd != 0:
+        return None
+    ti, tl, LMp = pick_layout(md.I // dd, K, LM)
+    if not ti:
+        return None
+    if LMp != LM:
+        x2 = jnp.pad(x2, ((0, 0), (0, LMp - LM)))
+        p2 = jnp.pad(p2, ((0, 0), (0, LMp - LM)))
+    c = (jnp.sum(md.miss, axis=1, keepdims=True) if cfg.has_missing
+         else jnp.zeros((md.I, 1), params.eta.dtype))
+
+    def local_step(eta_l, p2_g, x2_l, c_l):
+        etan, per_i, B = admixture_fullstep(
+            eta_l, p2_g, x2_l, c_l, ti=ti, tl=tl, k_true=cfg.k_true,
+            lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
+            interpret=interpret)
+        return etan, per_i, jax.lax.psum(B, DATA_AXIS)
+
+    eta_new, per_i, B = jax.shard_map(
+        local_step, mesh=cfg.mesh,
+        in_specs=(P(DATA_AXIS, None), P(None, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)),
+        check_vma=False)(params.eta, p2, x2, c)
+    return eta_new, per_i, B[:, :LM]
+
+
+def _sharded_sweep(params, md, cfg, p2, x2, interpret):
+    """Pallas sweep statistics under a 2-D (data x loci) mesh: each shard
+    streams its (I_local, LM_local) tile of x through the fused-sweep
+    kernel; A/t psum over the loci axis (per-individual reductions span
+    all loci), B psums over the data axis.  The eta/p epilogues run in XLA
+    on the merged statistics."""
+    from jax.sharding import PartitionSpec as P
+
+    from multiclust_tpu.ops.kernels import admixture_sweep_fused, \
+        admixture_sweep_stats, fused_fits, pad_for_kernel
+    from multiclust_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
+
+    dd, mm = cfg.data_shards, cfg.model_shards
+    K = params.K
+    LM = md.L * md.M
+    if md.I % dd != 0 or LM % mm != 0:
+        return None
+
+    def local_sweep(eta_l, p2_l, x2_l):
+        eta_p, p2_p, x2_p, (I_l, K_l, LM_l) = pad_for_kernel(
+            eta_l, p2_l, x2_l)
+        if fused_fits(eta_p.shape[1], p2_p.shape[1]):
+            A_p, t_p, B_p = admixture_sweep_fused(
+                eta_p, p2_p, x2_p, interpret=interpret)
+        else:
+            A_p, t_p, B_p = admixture_sweep_stats(
+                eta_p, p2_p, x2_p, interpret=interpret)
+        A = jax.lax.psum(A_p[:I_l, :K_l], MODEL_AXIS)
+        t = jax.lax.psum(t_p[:I_l], MODEL_AXIS)
+        B = jax.lax.psum(B_p[:K_l, :LM_l], DATA_AXIS)
+        return A, t, B
+
+    return jax.shard_map(
+        local_sweep, mesh=cfg.mesh,
+        in_specs=(P(DATA_AXIS, None), P(None, MODEL_AXIS),
+                  P(DATA_AXIS, MODEL_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, MODEL_AXIS)),
+        check_vma=False)(params.eta, p2, x2)
 
 
 def _em_step_unconstrained(params, md, cfg):
@@ -149,6 +233,12 @@ def _em_step_unconstrained_pallas(params, md, cfg):
     interpret = cfg.use_pallas == "interpret"
 
     padded = cfg.k_true and K % 128 == 0 and eta.shape[-1] == K
+
+    if cfg.mesh is not None and (cfg.data_shards > 1
+                                 or cfg.model_shards > 1):
+        return _em_step_unconstrained_pallas_meshed(
+            params, md, cfg, p2, x2, padded, interpret)
+
     ti = tl = LMp = 0
     if padded:
         ti, tl, LMp = pick_layout(md.I, K, md.L * md.M)
@@ -176,6 +266,46 @@ def _em_step_unconstrained_pallas(params, md, cfg):
         B = B_p[:K, :LM]
         per_i = t_p[:I]
 
+        if cfg.has_missing:
+            A = A + jnp.sum(md.miss, axis=1, keepdims=True)
+        eta_num = eta * A
+        tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
+        eta_new = jnp.where(tot_eta > 0,
+                            eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0),
+                            eta)
+        if cfg.do_projection:
+            eta_new = _project_eta_rows(eta_new, cfg)
+
+    ll = df64.df_sum(per_i)
+    scale = jnp.sqrt(jnp.sum(per_i * per_i))
+
+    B = B.reshape(K, md.L, md.M)
+    if cfg.has_missing:
+        C = eta.T @ md.miss
+        B = B + C[:, :, None]
+    pc = p * B
+    p_new = _normalize_p(pc, md, cfg)
+    return Params(eta=eta_new, p=p_new), ll, scale
+
+
+def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
+                                         interpret):
+    """Multi-chip Pallas step: full-step kernel per data shard when loci
+    are unsharded, sweep kernels + XLA epilogue on a 2-D mesh, and the
+    plain XLA/GSPMD formulation when the local shapes don't tile."""
+    eta, p = params.eta, params.p
+    K = params.K
+
+    eta_new = None
+    if cfg.model_shards == 1 and padded:
+        out = _sharded_fullstep(params, md, cfg, p2, x2, interpret)
+        if out is not None:
+            eta_new, per_i, B = out
+    if eta_new is None:
+        out = _sharded_sweep(params, md, cfg, p2, x2, interpret)
+        if out is None:
+            return _em_step_unconstrained(params, md, cfg)
+        A, per_i, B = out
         if cfg.has_missing:
             A = A + jnp.sum(md.miss, axis=1, keepdims=True)
         eta_num = eta * A

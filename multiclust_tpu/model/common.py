@@ -129,6 +129,23 @@ class EMConfig(NamedTuple):
     # wants eta [I, 128k] and p [128k, L, M] so no per-iteration lane
     # pad/relayout is needed; 0 = parameters are unpadded (K = p.shape[0]).
     k_true: int = 0
+    # Device mesh for multi-chip fits (None = single device).  A
+    # jax.sharding.Mesh is hashable, so the config stays a valid static jit
+    # argument.  The XLA E/M path needs no code change under a mesh (GSPMD
+    # inserts the psum merges from the input shardings, SURVEY.md section
+    # 2.3 DP row); the Pallas path wraps its kernels in jax.shard_map over
+    # the data axis (model/admixture.py).
+    mesh: object = None
+
+    @property
+    def data_shards(self) -> int:
+        from multiclust_tpu.runtime.mesh import DATA_AXIS
+        return self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+
+    @property
+    def model_shards(self) -> int:
+        from multiclust_tpu.runtime.mesh import MODEL_AXIS
+        return self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
 
     @property
     def eta_is_vector(self) -> bool:

@@ -50,6 +50,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         num_processes=num_processes, process_id=process_id)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def cached_mesh(shape: Tuple[int, int]) -> Mesh:
+    """Process-wide mesh cache so equal shapes share one Mesh object (the
+    EMConfig carrying it is an lru_cache/jit static key)."""
+    return make_mesh(shape)
+
+
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
               devices=None) -> Mesh:
     """Create a (data, model) mesh; default puts every device on data."""
@@ -81,13 +91,25 @@ def param_specs(per_individual_eta: bool) -> Params:
     )
 
 
+def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop spec axes that do not evenly divide the array (e.g. the 1-row
+    collapsed constrained-eta dataset can't shard its data axis)."""
+    out = []
+    for d, ax in enumerate(spec):
+        n = mesh.shape[ax] if ax is not None else 1
+        out.append(ax if (ax is not None and x.shape[d] % n == 0
+                          and x.shape[d] >= n) else None)
+    return P(*out)
+
+
 def shard_model_data(md: ModelData, mesh: Mesh) -> ModelData:
     # x_flat is derived data (prepare_for_em re-derives it inside jit with
     # the sharding propagated from x); don't ship it across the mesh
     md = md._replace(x_flat=None)
     specs = data_specs(md.row_valid is not None)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), md, specs)
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _feasible_spec(x, s, mesh))), md, specs)
 
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
@@ -95,6 +117,81 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs)
+
+
+def chain_data_specs(has_row_valid: bool = False) -> ModelData:
+    """PartitionSpecs for ModelData consumed by the BATCHED chain engine
+    (identical to data_specs - the chain batch axis lives on the params,
+    not the data)."""
+    return data_specs(has_row_valid)
+
+
+def chain_param_specs() -> Params:
+    """PartitionSpecs for a [B, ...] batch of admixture chain parameters:
+    eta [B, I, K] sharded over individuals, p [B, K, L, M] over loci."""
+    return Params(eta=P(None, DATA_AXIS, None),
+                  p=P(None, None, MODEL_AXIS, None))
+
+
+def shard_chain_params(params_b: Params, mesh: Mesh) -> Params:
+    """Place a chain-batch parameter pytree onto the mesh.  Mixture /
+    constrained chains carry a [B, K] eta - replicated."""
+    if params_b.eta.ndim < 3:
+        specs = Params(eta=P(), p=P(None, None, MODEL_AXIS, None))
+    else:
+        specs = chain_param_specs()
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params_b, specs)
+
+
+def constrain_chain_state(state, mesh: Mesh):
+    """with_sharding_constraint on the hot leaves of a batched EMState so
+    the compiled segment carries stable shardings through its while/fori
+    loop instead of re-deriving (and possibly resharding) every call.
+
+    eta-like leaves [B, ..., I, K] pin I to the data axis; p-like leaves
+    [B, ..., K, L, M] pin L to the model axis; scalars-per-chain stay
+    replicated."""
+    per_individual = state.params.eta.ndim >= 3
+
+    def c(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def eta_spec(x):
+        if not per_individual:
+            return x
+        return c(x, P(*([None] * (x.ndim - 2) + [DATA_AXIS, None])))
+
+    def p_spec(x):
+        return c(x, P(*([None] * (x.ndim - 3) + [None, MODEL_AXIS, None])))
+
+    params = Params(eta=eta_spec(state.params.eta), p=p_spec(state.params.p))
+    ring = state.ring
+    if ring is not None:
+        ring = ring._replace(
+            u=Params(eta=eta_spec(ring.u.eta), p=p_spec(ring.u.p)),
+            v=Params(eta=eta_spec(ring.v.eta), p=p_spec(ring.v.p)))
+    return state._replace(params=params, ring=ring)
+
+
+def pad_md_rows_loci(md: ModelData, I_pad: int, L_pad: int) -> ModelData:
+    """Zero-pad device-side ModelData to (I_pad, L_pad); padded loci carry
+    n_alleles=0 / mask False so they are inert (test_sharding
+    test_padded_rows_are_inert)."""
+    import jax.numpy as jnp
+    dI, dL = I_pad - md.I, L_pad - md.L
+    if dI <= 0 and dL <= 0:
+        return md
+    return md._replace(
+        x=jnp.pad(md.x, ((0, dI), (0, dL), (0, 0))),
+        miss=jnp.pad(md.miss, ((0, dI), (0, dL))),
+        mask=jnp.pad(md.mask, ((0, dL), (0, 0))),
+        n_alleles=jnp.pad(md.n_alleles, (0, dL)),
+        row_valid=(jnp.pad(md.row_valid, (0, dI))
+                   if md.row_valid is not None else
+                   (jnp.arange(I_pad) < md.I if dI > 0 else None)),
+        x_flat=None)
 
 
 def shardable_sizes(I: int, L: int, mesh: Mesh) -> Tuple[int, int]:

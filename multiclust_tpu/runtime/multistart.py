@@ -46,6 +46,10 @@ def cfg_from_options(opt: Options, K: int,
         has_missing = bool(jax.device_get(jnp.any(md.miss > 0)))
     use_pallas, _ = opt.device_policy()
     k_true = K if (opt.admixture and not opt.eta_constrained) else 0
+    mesh = None
+    if opt.mesh_shape:
+        from multiclust_tpu.runtime.mesh import cached_mesh
+        mesh = cached_mesh(tuple(opt.mesh_shape))
     return EMConfig(
         admixture=opt.admixture, eta_constrained=opt.eta_constrained,
         do_projection=opt.do_projection,
@@ -56,7 +60,7 @@ def cfg_from_options(opt: Options, K: int,
         q=opt.q, n_init_iter=opt.n_init_iter, adjust_step=opt.adjust_step,
         monotonicity=opt.monotonicity,
         use_pallas="on" if use_pallas else "off",
-        has_missing=has_missing, k_true=k_true)
+        has_missing=has_missing, k_true=k_true, mesh=mesh)
 
 
 def _pad_k(params: Params, cfg: EMConfig) -> Params:
@@ -70,38 +74,60 @@ def _pad_k(params: Params, cfg: EMConfig) -> Params:
 
 
 def _unpad_k(params: Params, cfg: EMConfig,
-             n_rows: Optional[int] = None) -> Params:
+             n_rows: Optional[int] = None,
+             n_loci: Optional[int] = None) -> Params:
     if cfg.k_true and params.p.shape[-3] != cfg.k_true:
         from multiclust_tpu.model.common import unpad_params_k
         params = unpad_params_k(params, cfg.k_true)
     if (n_rows is not None and params.eta.ndim >= 2
             and params.eta.shape[-2] != n_rows):
         params = params._replace(eta=params.eta[..., :n_rows, :])
+    if n_loci is not None and params.p.shape[-2] != n_loci:
+        params = params._replace(p=params.p[..., :n_loci, :])
     return params
+
+
+def _pad_params_loci(params: Params, Lp: int) -> Params:
+    """Zero-pad the loci axis of p to the (mesh-padded) fit data's L;
+    padded loci are fully masked, hence inert (test_padded_rows_are_inert)."""
+    d = Lp - params.p.shape[-2]
+    if d <= 0:
+        return params
+    pw = [(0, 0)] * (params.p.ndim - 2) + [(0, d), (0, 0)]
+    return params._replace(p=jnp.pad(params.p, pw))
 
 
 def _row_pad_target(I: int, cfg: EMConfig) -> int:
     """Rows to pad the chain state/data to so the full-step Pallas kernel
     can tile the individual axis (0 = leave unpadded).  Pad rows carry zero
     counts/missing and uniform eta - an exact fixed point of the EM update,
-    so secant pairs and step sizes see zeros there."""
+    so secant pairs and step sizes see zeros there.
+
+    Under a mesh the PER-SHARD row count must tile, so the target is a
+    multiple of data_shards * tile."""
+    dd = cfg.data_shards
     if not (cfg.use_pallas != "off" and cfg.admixture
             and not cfg.eta_constrained and cfg.k_true):
+        # XLA/GSPMD paths have no tile constraint; pad only for even
+        # sharding over the data axis
+        if dd > 1 and I % dd:
+            return -(-I // dd) * dd
         return 0
     # pad toward the fullstep tile ladder (ops/kernels._FULLSTEP_TILES):
     # large datasets earn the 1024/512-row tiles (~+30% sweep throughput),
     # small ones keep the pad overhead bounded
-    if I >= 8192:
+    I_loc = -(-I // dd)
+    if I_loc >= 8192:
         m = 1024
-    elif I >= 4096:
+    elif I_loc >= 4096:
         m = 512
-    elif I >= 2048:
+    elif I_loc >= 2048:
         m = 256
     else:
         m = 64
-    if I % m == 0:
+    if I % (m * dd) == 0:
         return 0
-    return -(-I // m) * m
+    return -(-I_loc // m) * m * dd
 
 
 def _pad_md_rows(md: ModelData, Ip: int) -> ModelData:
@@ -117,6 +143,8 @@ def _pad_md_rows(md: ModelData, Ip: int) -> ModelData:
 
 
 def _pad_params_rows(params: Params, Ip: int, cfg: EMConfig) -> Params:
+    if params.eta.ndim < 2:  # mixture / constrained eta carries no I rows
+        return params
     d = Ip - params.eta.shape[-2]
     if d <= 0:
         return params
@@ -173,6 +201,14 @@ def _batch_fns(cfg: EMConfig, segment: int):
     accel = cfg.accel_scheme != int(AccelScheme.NONE)
     body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
 
+    def constrain(state):
+        """Pin the chain-state shardings under a mesh so the segment carry
+        stays stable across calls (runtime/mesh.constrain_chain_state)."""
+        if cfg.mesh is None:
+            return state
+        from multiclust_tpu.runtime.mesh import constrain_chain_state
+        return constrain_chain_state(state, cfg.mesh)
+
     def prep(md):
         """Row-pad for kernel tiling + flatten x, ONCE per jitted segment
         (shapes are static at trace time, so this is a trace-time branch)."""
@@ -196,9 +232,11 @@ def _batch_fns(cfg: EMConfig, segment: int):
             0, segment, lambda i, s: body(s, md, cfg), state)
 
     def init_one(params, md):
-        Ip = _row_pad_target(md.I, cfg)
-        if Ip:
-            params = _pad_params_rows(params, Ip, cfg)
+        # pad the chain rows/loci to the fit data's (possibly mesh-padded)
+        # shape, rows further to the kernel tile target
+        Ip = _row_pad_target(md.I, cfg) or md.I
+        params = _pad_params_rows(params, Ip, cfg)
+        params = _pad_params_loci(params, md.L)
         return em_mod.init_state(params, cfg)
 
     def refill_one(state, params, replace, md):
@@ -210,12 +248,21 @@ def _batch_fns(cfg: EMConfig, segment: int):
         return jax.tree_util.tree_map(
             lambda new, old: jnp.where(replace, new, old), fresh, state)
 
-    prologue = jax.jit(jax.vmap(prologue_one, in_axes=(0, None)),
-                       donate_argnums=0)
-    seg = jax.jit(jax.vmap(seg_one, in_axes=(0, None)), donate_argnums=0)
-    mk_state = jax.jit(jax.vmap(init_one, in_axes=(0, None)))
-    refill = jax.jit(jax.vmap(refill_one, in_axes=(0, 0, 0, None)),
-                     donate_argnums=0)
+    prologue = jax.jit(
+        lambda st, md: constrain(
+            jax.vmap(prologue_one, in_axes=(0, None))(st, md)),
+        donate_argnums=0)
+    seg = jax.jit(
+        lambda st, md: constrain(
+            jax.vmap(seg_one, in_axes=(0, None))(st, md)),
+        donate_argnums=0)
+    mk_state = jax.jit(
+        lambda pb, md: constrain(
+            jax.vmap(init_one, in_axes=(0, None))(pb, md)))
+    refill = jax.jit(
+        lambda st, pb, rep, md: constrain(
+            jax.vmap(refill_one, in_axes=(0, 0, 0, None))(st, pb, rep, md)),
+        donate_argnums=0)
     k1 = jax.jit(lambda p, md: em_mod.fit_k1(p, md, cfg))
     return prologue, seg, mk_state, k1, refill
 
@@ -317,7 +364,8 @@ def _bookkeep_lane(res: MaximizeResult, opt: Options, n_parameters: int,
 def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     md_fit: ModelData, K: int, cfg: EMConfig, opt: Options,
                     n_parameters: int, codes, t0: float,
-                    checkpoint_dir=None, segment: int = 16) -> None:
+                    checkpoint_dir=None, segment: int = 16,
+                    md_score: Optional[ModelData] = None) -> None:
     """Continuous-batching multi-start engine: B vmapped chains run in
     lockstep segments; a stopped lane is immediately harvested and refilled
     with a fresh initialization instead of idling until the slowest chain
@@ -337,7 +385,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
             method=opt.initialization_method,
             procedure=opt.initialization_procedure,
             n_rand_em_init=opt.n_rand_em_init, codes=codes,
-            md_score=md_fit)
+            md_score=md_score)
         return _pad_k(jax.vmap(init_fn)(keys), cfg)
 
     key, sub = jax.random.split(key)
@@ -364,7 +412,8 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     bool(convs[lane]), int(iters[lane]),
                     bool(faileds[lane]), bool(monos[lane]),
                     lambda ln=lane: _unpad_k(
-                        tree_map(lambda t: t[ln], state.params), cfg, md.I),
+                        tree_map(lambda t: t[ln], state.params), cfg,
+                        md.I, md.L),
                     timed_out)
                 if done:
                     return
@@ -410,7 +459,8 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                         bool(convs[lane]), int(iters[lane]),
                         bool(faileds[lane]), bool(monos[lane]),
                         lambda ln=lane: _unpad_k(
-                            tree_map(lambda t: t[ln], state.params), cfg, md.I),
+                            tree_map(lambda t: t[ln], state.params), cfg,
+                            md.I, md.L),
                         True):
                     return
             res.time_stop = True
@@ -439,6 +489,23 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         md_fit = collapse_for_constrained(md)
     else:
         md_fit = md
+    # Rand-EM candidates are scored on the UNSHARDED/unpadded fit data
+    # (their parameter shapes come from the original md)
+    md_score = md_fit
+
+    if cfg.mesh is not None:
+        # multi-chip production path: pad individuals/loci to shardable
+        # sizes (pads are inert, test_sharding) and place the fit data on
+        # the (data, loci) mesh.  Chain-state shardings are pinned by the
+        # jitted segment functions (_batch_fns); XLA/GSPMD inserts the
+        # psum merges, and the Pallas kernels run per data shard under
+        # jax.shard_map (model/admixture.py).
+        from multiclust_tpu.runtime import mesh as mesh_mod
+        mm = cfg.model_shards
+        Ip = _row_pad_target(md_fit.I, cfg) or md_fit.I
+        Lp = -(-md_fit.L // mm) * mm
+        md_fit = mesh_mod.pad_md_rows_loci(md_fit, Ip, Lp)
+        md_fit = mesh_mod.shard_model_data(md_fit, cfg.mesh)
 
     if checkpoint_dir:
         from multiclust_tpu.runtime import checkpoint as ckpt
@@ -454,9 +521,11 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     if K == 1:
         _, _, _, k1, _ = _batch_fns(cfg, 16)
         params = _single_init(key, md, K, cfg, opt, codes, warm)
+        params = _pad_params_loci(
+            _pad_params_rows(params, md_fit.I, cfg), md_fit.L)
         state = k1(params, md_fit)
         ll = float(state.logL_hi + state.logL_lo)
-        res.best_params = _unpad_k(state.params, cfg)
+        res.best_params = _unpad_k(state.params, cfg, md.I, md.L)
         res.max_logL = res.first_max_logL = ll
         res.aic = aic_fn(ll, n_parameters)
         res.bic = bic_fn(ll, n_parameters, md.I)
@@ -476,7 +545,8 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     if not serial and warm is None:
         # continuous-batching engine: stopped lanes refilled immediately
         _run_continuous(key, res, md, md_fit, K, cfg, opt, n_parameters,
-                        codes, t0, checkpoint_dir=checkpoint_dir)
+                        codes, t0, checkpoint_dir=checkpoint_dir,
+                        md_score=md_score)
         res.seconds = time.time() - t0
         if checkpoint_dir:
             from multiclust_tpu.runtime import checkpoint as ckpt
@@ -489,10 +559,11 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         key, sub = jax.random.split(key)
         if serial:
             states, timed_out, B = _fit_serial_traced(
-                sub, md, md_fit, K, cfg, opt, codes, warm, t0)
+                sub, md, md_fit, K, cfg, opt, codes, warm, t0,
+                md_score=md_score)
         else:
             params_b, B = _initialize_batch(sub, md, K, cfg, opt, codes,
-                                            warm, md_score=md_fit)
+                                            warm, md_score=md_score)
             states, timed_out = fit_batch(
                 params_b, md_fit, cfg, n_seconds=opt.n_seconds,
                 start_time=t0)
@@ -509,7 +580,8 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 bool(convs[lane]), int(iters[lane]), bool(faileds[lane]),
                 bool(monos[lane]),
                 lambda ln=lane: _unpad_k(
-                    tree_map(lambda t: t[ln], states.params), cfg, md.I),
+                    tree_map(lambda t: t[ln], states.params), cfg,
+                    md.I, md.L),
                 timed_out)
             if done:
                 break
@@ -544,14 +616,17 @@ def _regimes_satisfied(res: MaximizeResult, opt: Options) -> bool:
     return False
 
 
-def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0):
+def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0,
+                       md_score=None):
     """One traced chain per round (verbosity > MINIMAL)."""
     from multiclust_tpu.opt.driver import fit
     from multiclust_tpu.runtime.observe import make_trace_printer
 
     printer = make_trace_printer(opt.verbosity)
     params = _single_init(key, md, K, cfg, opt, codes, warm,
-                          md_score=md_fit)
+                          md_score=md_score)
+    params = _pad_params_loci(
+        _pad_params_rows(params, md_fit.I, cfg), md_fit.L)
     res = fit(params, md_fit, cfg, n_seconds=opt.n_seconds, start_time=t0,
               trace=(lambda st, kind="EM": printer(st, kind))
               if printer else None)

@@ -95,6 +95,25 @@ def test_cli_admixture_ksweep(toy_file, tmp_path, capsys):
     assert lls[0] < lls[1] < lls[2]
 
 
+def test_cli_mesh_fit_matches_single_device(toy_file, tmp_path, capsys):
+    """--mesh 4x2 drives the same fit over the virtual 8-device mesh and
+    reproduces the single-device result (VERDICT round 1, item 1)."""
+    path, _, _ = toy_file
+    args = ["-f", path, "-a", "-k", "2", "-n", "2", "-r", "11",
+            "-d", str(tmp_path)]
+    assert main(args) == 0
+    single = capsys.readouterr().out.strip().splitlines()[-1]
+    assert main(args + ["--mesh", "4x2"]) == 0
+    meshed = capsys.readouterr().out.strip().splitlines()[-1]
+    ll_s = float(single.split()[9])
+    ll_m = float(meshed.split()[9])
+    assert abs(ll_s - ll_m) < 1e-6
+    # parse errors
+    with pytest.raises(SystemExit):
+        parse_args(["-f", "x", "--mesh", "bogus"])
+    assert parse_args(["-f", "x", "--mesh", "auto"]).mesh_shape == (-1, 1)
+
+
 def test_cli_parallel_mode(toy_file, tmp_path, capsys):
     path, _, _ = toy_file
     rc = main(["-f", path, "-k", "2", "-n", "2", "-M",

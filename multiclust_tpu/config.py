@@ -148,7 +148,12 @@ class Options:
     max_repeat_seconds: float = 0.0
 
     # --- reporting ---
-    verbosity: int = 1                # MINIMAL (message.h:45-53)
+    # message.h:45-53 levels: 0 ABSOLUTE_SILENCE, 1 SILENT, 2 QUIET,
+    # 3 MINIMAL (the reference default, multiclust.c:954), 4 RESTRAINED,
+    # 5 TALKATIVE, 6 VERBOSE, 7 DEBUG.  Per-init progress prints at
+    # > QUIET (multiclust.c:618), per-iteration traces at > MINIMAL
+    # (em_alg.c:123).
+    verbosity: int = 3                # MINIMAL
     compact: bool = True
     parallel: bool = False            # -M: print only max logL on stdout
 
@@ -160,8 +165,17 @@ class Options:
                                       # fits on an accelerator backend)
     mesh_shape: Optional[tuple] = None  # (data_shards, loci_shards)
     checkpoint_dir: Optional[str] = None  # --checkpoint: sweep persistence
-    monotonicity: str = "warn"        # "fatal" (reference, em_alg.c:115-120),
-                                      # "warn", or "off" - f32 needs slack
+    monotonicity: str = "auto"        # "fatal" (reference, em_alg.c:115-120),
+                                      # "warn", "off", or "auto": fatal on
+                                      # float64 (reference semantics are
+                                      # exactly representable there), warn
+                                      # on f32 where accept/backtrack fp
+                                      # chaos needs slack
+
+    def resolved_monotonicity(self) -> str:
+        if self.monotonicity == "auto":
+            return "fatal" if self.dtype == "float64" else "warn"
+        return self.monotonicity
 
     def synchronize(self, n_individuals: int, ploidy: int) -> "Options":
         """Derive data-dependent bounds and resolve the acceleration scheme.

@@ -180,14 +180,32 @@ def random_initialize(key, md: ModelData, K: int, cfg: EMConfig,
     return parameters_from_partition_mixture(part, md, K)
 
 
+def rand_em_chunk(md: ModelData, n: int, batch_width: int = 1,
+                  hbm_budget: float = 2e9) -> int:
+    """Candidates to score concurrently: the scoring EM step materializes
+    ~3 [I, L*M] tensors per candidate on the XLA path, so bound the vmap
+    width by an HBM estimate (times the multi-start vmap width the caller
+    runs this under)."""
+    itemsize = jnp.dtype(md.dtype).itemsize
+    per_cand = 3 * md.I * md.L * md.M * itemsize
+    c = int(hbm_budget // max(per_cand * max(batch_width, 1), 1))
+    return max(1, min(n, c))
+
+
 def rand_em_initialize(key, md: ModelData, K: int, cfg: EMConfig,
                        method: InitMethod, n_rand_em_init: int,
                        codes: Array = None,
-                       md_score: ModelData = None) -> Params:
+                       md_score: ModelData = None,
+                       chunk: int = 0) -> Params:
     """Rand-EM: run n starts through one EM step + E step, keep the start
     whose refined logL is best (randem_initialize_mixture rnd_init.c:123-161;
     randem_initialize_admixture :412-444).  The winning START (not its
     refined parameters) seeds the real fit, as in the reference.
+
+    Unlike the reference's serial loop, candidates are scored as a VMAPPED
+    batch (SURVEY.md section 2.3 multi-start row), in chunks of ``chunk``
+    (0 = auto from an HBM estimate, rand_em_chunk) scanned by lax.map so a
+    big dataset times 50 candidates cannot blow HBM.
 
     ``md_score`` lets constrained-eta sweeps score candidates on the
     collapsed column-sum dataset (bitwise-identical logL at O(K L M)
@@ -198,7 +216,7 @@ def rand_em_initialize(key, md: ModelData, K: int, cfg: EMConfig,
     if md_score is None:
         md_score = md
     n = n_rand_em_init if K > 1 else 1
-    keys = jax.random.split(key, n)
+    c = chunk or rand_em_chunk(md_score, n)
 
     def one(k):
         params = random_initialize(k, md, K, cfg, method, codes)
@@ -206,7 +224,14 @@ def rand_em_initialize(key, md: ModelData, K: int, cfg: EMConfig,
         ll, _ = model_log_likelihood(stepped, md_score, cfg)
         return params, ll[0] + ll[1]
 
-    params_all, lls = jax.lax.map(one, keys)
+    n_pad = -(-n // c) * c
+    keys = jax.random.split(key, n_pad).reshape(n_pad // c, c, -1)
+    params_all, lls = jax.lax.map(jax.vmap(one), keys)
+    params_all = tree_map(lambda t: t.reshape((n_pad,) + t.shape[2:]),
+                          params_all)
+    lls = lls.reshape(n_pad)
+    if n_pad != n:  # surplus candidates only pad the chunk; never win
+        lls = jnp.where(jnp.arange(n_pad) < n, lls, -jnp.inf)
     best = jnp.argmax(lls)
     return tree_map(lambda t: t[best], params_all)
 
@@ -238,3 +263,14 @@ def codes_from_counts(counts, miss, ploidy: int):
     observed = ploidy - miss                          # [I, L]
     codes = np.where(a[None, None, :] < observed[:, :, None], codes, -1)
     return codes
+
+
+def codes_from_counts_jax(counts: Array, miss: Array, ploidy: int) -> Array:
+    """Device-side codes_from_counts (same math, jnp) - used by the
+    batched bootstrap where replicate count tensors live on device."""
+    cum = jnp.cumsum(counts.astype(jnp.int32), axis=2)
+    a = jnp.arange(ploidy)
+    codes = jnp.sum(cum[:, :, :, None] <= a[None, None, None, :],
+                    axis=2).astype(jnp.int32)
+    observed = ploidy - miss.astype(jnp.int32)
+    return jnp.where(a[None, None, :] < observed[:, :, None], codes, -1)

@@ -45,6 +45,22 @@ def project_rows(v: Array, mask: Array, n_valid: Array,
     lb = jnp.asarray(lower_bound, dtype)
     tot = jnp.asarray(total, dtype)
 
+    if v.shape[-1] == 2:
+        # closed form for the biallelic case (the hot shape: SNP panels):
+        # one Michelot pass lands on the line x0+x1=tot, the clamp to
+        # [lb, tot-lb] is the (at most one) second pass.  Equivalent to
+        # the loop below but single-pass and free of the [.., 2]-lane
+        # while-loop (2 of 128 lanes useful) that dominates the p-update
+        # epilogue on TPU.
+        v0, v1 = v[..., 0], v[..., 1]
+        m0, m1 = mask[..., 0], mask[..., 1]
+        both = m0 & m1
+        p0 = jnp.clip((v0 - v1 + tot) * 0.5, lb, tot - lb)
+        p0 = jnp.where(both, p0, jnp.where(m0, tot, jnp.zeros((), dtype)))
+        p1 = jnp.where(both, tot - p0,
+                       jnp.where(m1, tot, jnp.zeros((), dtype)))
+        return jnp.stack([p0, p1], axis=-1)
+
     w0 = jnp.where(mask, v, 0.0)
     free0 = mask
     done0 = jnp.zeros(v.shape[:-1], bool)

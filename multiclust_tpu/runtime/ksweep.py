@@ -40,8 +40,12 @@ def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
                    codes=None, warm=None, true_partition=None,
                    bootstrap: bool = False,
                    on_model_done=None,
+                   on_improve=None,
                    checkpoint_dir=None) -> EstimateResult:
-    """``n_parameters_fn(K) -> int`` supplies the AIC/BIC parameter count."""
+    """``n_parameters_fn(K) -> int`` supplies the AIC/BIC parameter count;
+    ``on_improve(K, res)`` fires when an init improves K's best logL
+    (best-so-far file rewrites, multiclust.c:584-600) - suppressed for
+    bootstrap replicate fits, as in the reference (:584 ``!bootstrap``)."""
     t0 = time.time()
     if opt.n_bootstrap:
         ks = [opt.max_K - 1, opt.max_K]
@@ -59,7 +63,12 @@ def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
         res = maximize_likelihood(sub, md, K, opt, n_parameters_fn(K),
                                   codes=codes, warm=warm,
                                   true_partition=true_partition,
-                                  checkpoint_dir=checkpoint_dir)
+                                  checkpoint_dir=checkpoint_dir,
+                                  on_improve=(
+                                      (lambda r, K=K: on_improve(K, r))
+                                      if on_improve and not bootstrap
+                                      else None),
+                                  quiet=bootstrap)
         per_K[K] = res
         if opt.n_bootstrap and K == ks[0]:
             max_logL_H0 = res.max_logL

@@ -58,7 +58,7 @@ def cfg_from_options(opt: Options, K: int,
         abs_error=opt.abs_error, rel_error=opt.rel_error,
         max_iter=opt.max_iter, accel_scheme=int(opt.accel_scheme),
         q=opt.q, n_init_iter=opt.n_init_iter, adjust_step=opt.adjust_step,
-        monotonicity=opt.monotonicity,
+        monotonicity=opt.resolved_monotonicity(),
         use_pallas="on" if use_pallas else "off",
         has_missing=has_missing, k_true=k_true, mesh=mesh)
 
@@ -311,9 +311,29 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
 
 
 
+def _make_progress(opt: Options, K: int, t0: float, quiet: bool):
+    """Per-init completion line (multiclust.c:618-627): printed at
+    verbosity > QUIET when writing files.  The reference reports the
+    init's own wall-clock; batched chains complete together, so the
+    hh:mm:ss here is elapsed time since the sweep started."""
+    if quiet or opt.verbosity <= 2 or not opt.write_files:
+        return None
+
+    def pr(res: MaximizeResult, ll: float, conv: bool, iters: int) -> None:
+        d = int(time.time() - t0)
+        print("K = %d, initialization = %d: %f (%s) in %3d iterations, "
+              "%02d:%02d:%02d (%f; %d), seed: %u"
+              % (K, res.n_launched - 1, ll,
+                 "converged" if conv else "not converged", iters,
+                 d // 3600, (d % 3600) // 60, d % 60, res.max_logL,
+                 res.n_maxll_times, opt.seed))
+    return pr
+
+
 def _bookkeep_lane(res: MaximizeResult, opt: Options, n_parameters: int,
                    I: int, ll: float, conv: bool, iters: int, failed: bool,
-                   mono: bool, get_params, timed_out: bool) -> bool:
+                   mono: bool, get_params, timed_out: bool,
+                   on_improve=None, progress=None) -> bool:
     """Per-chain bookkeeping (multiclust.c:538-652); returns True when a
     stop regime is satisfied."""
     res.n_launched += 1
@@ -339,6 +359,14 @@ def _bookkeep_lane(res: MaximizeResult, opt: Options, n_parameters: int,
         res.aic = aic_fn(ll, n_parameters)
         res.bic = bic_fn(ll, n_parameters, I)
         res.best_params = get_params()
+        if on_improve is not None:
+            # best-so-far persistence: the reference rewrites the per-K
+            # output files every time an init improves the best logL
+            # (multiclust.c:584-600) - they double as crash-recoverable,
+            # inspect-while-running state
+            on_improve(res)
+    if progress is not None:
+        progress(res, ll, conv, iters)
 
     # stop regimes (multiclust.c:629-652)
     if timed_out:
@@ -365,7 +393,8 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     md_fit: ModelData, K: int, cfg: EMConfig, opt: Options,
                     n_parameters: int, codes, t0: float,
                     checkpoint_dir=None, segment: int = 16,
-                    md_score: Optional[ModelData] = None) -> None:
+                    md_score: Optional[ModelData] = None,
+                    on_improve=None, progress=None) -> None:
     """Continuous-batching multi-start engine: B vmapped chains run in
     lockstep segments; a stopped lane is immediately harvested and refilled
     with a fresh initialization instead of idling until the slowest chain
@@ -414,7 +443,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     lambda ln=lane: _unpad_k(
                         tree_map(lambda t: t[ln], state.params), cfg,
                         md.I, md.L),
-                    timed_out)
+                    timed_out, on_improve=on_improve, progress=progress)
                 if done:
                     return
             if checkpoint_dir:
@@ -461,7 +490,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                         lambda ln=lane: _unpad_k(
                             tree_map(lambda t: t[ln], state.params), cfg,
                             md.I, md.L),
-                        True):
+                        True, on_improve=on_improve, progress=progress):
                     return
             res.time_stop = True
             return
@@ -473,14 +502,19 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                         n_parameters: int,
                         codes=None, warm: Optional[Params] = None,
                         true_partition=None,
-                        checkpoint_dir: Optional[str] = None
+                        checkpoint_dir: Optional[str] = None,
+                        on_improve=None, quiet: bool = False
                         ) -> MaximizeResult:
     """Maximize over initializations (maximize_likelihood,
     multiclust.c:471-656).  ``checkpoint_dir`` persists/resumes the sweep
-    state after every batch of chains (runtime/checkpoint.py)."""
+    state after every batch of chains (runtime/checkpoint.py);
+    ``on_improve(res)`` fires whenever an init improves the best logL
+    (best-so-far output persistence, multiclust.c:584-600); ``quiet``
+    suppresses per-init progress (bootstrap replicate fits)."""
     cfg = cfg_from_options(opt, K, md)
     res = MaximizeResult(K=K)
     t0 = time.time()
+    progress = _make_progress(opt, K, t0, quiet)
 
     # constrained-eta admixture fits depend on the data only through its
     # column sums: collapse once (the full md still serves init + scoring)
@@ -546,7 +580,8 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         # continuous-batching engine: stopped lanes refilled immediately
         _run_continuous(key, res, md, md_fit, K, cfg, opt, n_parameters,
                         codes, t0, checkpoint_dir=checkpoint_dir,
-                        md_score=md_score)
+                        md_score=md_score, on_improve=on_improve,
+                        progress=progress)
         res.seconds = time.time() - t0
         if checkpoint_dir:
             from multiclust_tpu.runtime import checkpoint as ckpt
@@ -582,7 +617,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 lambda ln=lane: _unpad_k(
                     tree_map(lambda t: t[ln], states.params), cfg,
                     md.I, md.L),
-                timed_out)
+                timed_out, on_improve=on_improve, progress=progress)
             if done:
                 break
         if warm is not None and not done:

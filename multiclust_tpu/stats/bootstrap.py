@@ -74,11 +74,143 @@ class BootstrapResult:
     alt_K: int
 
 
+def replicate_chunk(md: ModelData, n_init: int, n_reps: int,
+                    hbm_budget: float = 4e9) -> int:
+    """Replicates fitted concurrently: each (replicate x init) chain costs
+    ~3 [I, L*M] tensors on the XLA path plus its replicate's count tensor."""
+    itemsize = jnp.dtype(md.dtype).itemsize
+    per_chain = 3 * md.I * md.L * md.M * itemsize
+    per_rep = per_chain * max(n_init, 1) + md.I * md.L * md.M * 4
+    return max(1, min(n_reps, int(hbm_budget // max(per_rep, 1))))
+
+
+def _fit_lattice(params_rb: Params, md_b: ModelData, cfg, segment: int = 16):
+    """Run an [R, B] lattice of EM chains to convergence in lockstep -
+    params leaves [R, B, ...], data leaves [R, ...] (each replicate's B
+    init chains share its data).  The per-chain masked stopping machinery
+    (opt/em.py) freezes finished lanes; the loop exits when every chain in
+    the lattice has stopped."""
+    from multiclust_tpu.config import AccelScheme
+    from multiclust_tpu.opt import em as em_mod
+
+    accel = cfg.accel_scheme != int(AccelScheme.NONE)
+    body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
+
+    def start_one(params, md):
+        md = md.prepare_for_em()
+        state = em_mod.init_state(params, cfg)
+        for _ in range(cfg.n_init_iter):
+            state = em_mod.plain_step(state, md, cfg)
+        if accel:
+            for _ in range(cfg.q - 1):
+                state = em_mod.two_em_steps(state, md, cfg)[0]
+        return state
+
+    def seg_one(state, md):
+        md = md.prepare_for_em()
+        return jax.lax.fori_loop(
+            0, segment, lambda i, s: body(s, md, cfg), state)
+
+    start = jax.jit(jax.vmap(jax.vmap(start_one, in_axes=(0, None)),
+                             in_axes=(0, 0)))
+    seg = jax.jit(jax.vmap(jax.vmap(seg_one, in_axes=(0, None)),
+                           in_axes=(0, 0)), donate_argnums=0)
+
+    state = start(params_rb, md_b)
+    while True:
+        stopped = np.asarray(state.stopped)
+        if stopped.all():
+            return state
+        state = seg(state, md_b)
+
+
+def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
+                n_reps: int) -> np.ndarray:
+    """Fit H0 (K-1) and Ha (K) on ``n_reps`` simulated replicates as
+    vmapped (replicate x init) chain lattices; returns the replicate test
+    statistics.  Replaces the reference's serial refit loop
+    (multiclust.c:681) per SURVEY.md section 2.3 (bootstrap parallelism)."""
+    from multiclust_tpu.init.random import codes_from_counts_jax, initialize
+    from multiclust_tpu.runtime.multistart import _pad_k, _pad_md_rows, \
+        _pad_params_rows, _row_pad_target, cfg_from_options
+
+    B = max(opt.n_init, 1)
+    chunk = replicate_chunk(md, B, n_reps)
+    ts = []
+    for lo in range(0, n_reps, chunk):
+        c = min(chunk, n_reps - lo)
+        key, ksim, kinit = jax.random.split(key, 3)
+        counts_b = jax.vmap(
+            lambda k: simulate_replicate(k, h0_params, md, ploidy,
+                                         opt.admixture)
+        )(jax.random.split(ksim, c))                   # [c, I, L, M]
+        codes_b = None
+        if opt.admixture:
+            codes_b = jax.vmap(
+                lambda x: codes_from_counts_jax(x, md.miss, ploidy)
+            )(counts_b)
+
+        maxll = {}
+        for K in (opt.max_K - 1, opt.max_K):
+            cfg = cfg_from_options(opt, K, md)
+            md_b = jax.vmap(
+                lambda x: md._replace(x=x.astype(md.x.dtype), x_flat=None)
+            )(counts_b)
+            Ip = _row_pad_target(md.I, cfg)
+            if Ip:
+                md_b = jax.vmap(lambda m: _pad_md_rows(m, Ip))(md_b)
+
+            def init_rep(kr, m, cd):
+                def one(k):
+                    params = initialize(
+                        k, m, K, cfg, method=opt.initialization_method,
+                        procedure=opt.initialization_procedure,
+                        n_rand_em_init=opt.n_rand_em_init,
+                        codes=cd if opt.admixture else None)
+                    params = _pad_k(params, cfg)
+                    return _pad_params_rows(params, Ip or m.I, cfg)
+                return jax.vmap(one)(jax.random.split(kr, B))
+
+            keys_r = jax.random.split(jax.random.fold_in(kinit, K), c)
+            params_rb = jax.jit(jax.vmap(init_rep))(
+                keys_r, md_b,
+                codes_b if codes_b is not None
+                else jnp.zeros((c, 1), jnp.int32))
+            state = _fit_lattice(params_rb, md_b, cfg)
+            lls = np.asarray(state.logL_hi + state.logL_lo)   # [c, B]
+            lls = np.where(np.isfinite(lls), lls, -np.inf)
+            maxll[K] = lls.max(axis=1)
+        ts.append(maxll[opt.max_K] - maxll[opt.max_K - 1])
+    return np.concatenate(ts)
+
+
 def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
                   h0_params: Params, ploidy: int,
                   codes_fn: Optional[Callable] = None,
                   log: Optional[Callable] = None) -> BootstrapResult:
-    """run_bootstrap (multiclust.c:675-708)."""
+    """run_bootstrap (multiclust.c:675-708).
+
+    Default: replicates fit as BATCHED (replicate x init) chain lattices,
+    chunked by an HBM estimate - sublinear wall-clock in -b (SURVEY.md
+    section 2.3 bootstrap parallelism).  The serial per-replicate loop
+    remains for the stop regimes whose bookkeeping is inherently
+    sequential (-t / -u), per-iteration verbosity, and meshed fits."""
+    exotic = (opt.target_ll or opt.target_revisit or opt.n_seconds
+              or opt.verbosity > 3 or opt.mesh_shape)
+    if not exotic:
+        ts_arr = _batched_ts(key, md, opt, h0_params, ploidy,
+                             opt.n_bootstrap)
+        ntime = 0
+        for rep, t in enumerate(ts_arr):
+            if t >= ts_obs:
+                ntime += 1
+            if log:
+                log(rep, float(t), ntime)
+        return BootstrapResult(
+            ts_obs=ts_obs, ts_bs=[float(t) for t in ts_arr],
+            pvalue=ntime / opt.n_bootstrap,
+            null_K=opt.max_K - 1, alt_K=opt.max_K)
+
     from multiclust_tpu.init.random import codes_from_counts
     from multiclust_tpu.runtime.ksweep import estimate_model
 

@@ -72,8 +72,11 @@ def test_cli_mixture_fit(toy_file, tmp_path, capsys):
     assert os.path.exists(base + ".mix.K=3.indivq")
     text = open(base + ".mix.K=3.out.txt").read()
     assert "logL = " in text and "AIC = " in text and "count.K" in text
+    # per-init progress lines at default verbosity (multiclust.c:618-627)
+    prog = [ln for ln in out.splitlines() if "initialization =" in ln]
+    assert len(prog) == 3 and all("converged" in ln for ln in prog)
     # adjusted Rand on well-separated data should be near-perfect
-    arand = float(out.split()[12])
+    arand = float(out.strip().splitlines()[-1].split()[12])
     assert arand > 0.9
 
 
@@ -83,15 +86,17 @@ def test_cli_admixture_ksweep(toy_file, tmp_path, capsys):
                "-d", str(tmp_path), "-r", "7", "-s", "1"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert len(out.strip().splitlines()) == 3   # one compact line per K
-    assert all(" admix " in ln for ln in out.strip().splitlines())
+    compact = [ln for ln in out.strip().splitlines()
+               if "initialization =" not in ln]
+    assert len(compact) == 3   # one compact line per K
+    assert all(" admix " in ln for ln in compact)
     for K in (1, 2, 3):
         assert os.path.exists(
             os.path.join(str(tmp_path), f"toy.str.admix.K={K}.out.txt"))
         assert os.path.exists(
             os.path.join(str(tmp_path), f"toy.str_admix_popq_{K}.popq"))
     # logL must increase with K
-    lls = [float(line.split()[9]) for line in out.strip().splitlines()]
+    lls = [float(line.split()[9]) for line in compact]
     assert lls[0] < lls[1] < lls[2]
 
 
@@ -138,14 +143,98 @@ def test_cli_simulate_roundtrip(tmp_path, rng):
     assert ds.I == I and ds.L == L
 
 
-def test_cli_bootstrap(toy_file, tmp_path, capsys):
+def test_cli_bootstrap(toy_file, tmp_path, capsys, monkeypatch):
     path, _, _ = toy_file
+    # the batched replicate engine must carry the -b replicates: no serial
+    # per-replicate estimate_model calls beyond the observed fit
+    import multiclust_tpu.runtime.ksweep as ksweep_mod
+    import multiclust_tpu.stats.bootstrap as bs_mod
+    calls = []
+    real = ksweep_mod.estimate_model
+
+    def counting(*a, **kw):
+        calls.append(kw.get("bootstrap", False))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ksweep_mod, "estimate_model", counting)
     rc = main(["-f", path, "-k", "2", "-n", "1", "-b", "3",
                "-d", str(tmp_path), "-r", "3"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "p-value to reject H0: K=1" in out
     assert "Bootstrap dataset 3 (of 3)" in out
+    assert calls == [False]  # observed fit only; replicates ran batched
+
+
+def test_bootstrap_batched_matches_serial_shapes(toy_file):
+    """Batched replicate test statistics are finite and the p-value agrees
+    with a direct count; chunking does not change the draw stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.io.structure import read_structure
+    from multiclust_tpu.model.common import model_data_from_dataset
+    from multiclust_tpu.runtime.ksweep import estimate_model
+    from multiclust_tpu.stats import bootstrap as bs
+
+    path, _, _ = toy_file
+    opt = Options(filename=path, max_K=2, min_K=2, n_init=2,
+                  n_bootstrap=4, dtype="float64")
+    ds = read_structure(path, opt)
+    opt = opt.synchronize(ds.I, ds.ploidy)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    est = estimate_model(jax.random.PRNGKey(0), md, opt,
+                         lambda K: ds.n_parameters(K, False, False),
+                         bootstrap=True)
+    res = bs.run_bootstrap(jax.random.PRNGKey(1), md, opt,
+                           lambda K: ds.n_parameters(K, False, False),
+                           est.ts, est.h0_params, ds.ploidy)
+    assert len(res.ts_bs) == 4
+    assert all(np.isfinite(t) for t in res.ts_bs)
+    expected = sum(t >= est.ts for t in res.ts_bs) / 4
+    assert res.pvalue == expected
+
+
+def test_cli_mixture_warm_start(toy_file, tmp_path, capsys, rng):
+    """-Q/-P warm-start the MIXTURE model too (our documented extension:
+    the reference ignores them outside the admixture branch,
+    rnd_init.c:72-85) - warm-started fits are deterministic."""
+    from multiclust_tpu.stats.sim import simulate_mixture
+    K, L = 3, 25
+    while True:
+        P = rng.uniform(0.2, 0.8, size=(K, L))
+        P2 = np.stack([P, 1.0 - P], axis=2)
+        ds, _ = simulate_mixture(rng, np.array([0.3, 0.3, 0.4]), P2, I=40,
+                                 ploidy=2)
+        if (ds.n_alleles == 2).all():
+            break
+    path = str(tmp_path / "bi.str")
+    with open(path, "w") as fh:
+        fh.write(" ".join(f"loc{l}" for l in range(ds.L)) + "\n")
+        for i in range(ds.I):
+            for a in range(2):
+                fh.write(f"ind{i} pop0 "
+                         + " ".join(map(str, ds.IL[i * 2 + a])) + "\n")
+    qf, pf = str(tmp_path / "w.q"), str(tmp_path / "w.p")
+    np.savetxt(qf, rng.dirichlet(np.full(K, 5.0))[None, :], fmt="%.17g")
+    np.savetxt(pf, rng.uniform(0.2, 0.8, size=(L, K)), fmt="%.17g")
+    lls = []
+    for _ in range(2):
+        rc = main(["-f", path, "-k", str(K), "-n", "1", "-Q", qf,
+                   "-P", pf, "-d", str(tmp_path)])
+        assert rc == 0
+        lls.append(float(
+            capsys.readouterr().out.strip().splitlines()[-1].split()[9]))
+    assert lls[0] == lls[1]
+    assert np.isfinite(lls[0])
+    # non-biallelic data + -P is rejected with a clear error
+    path3, _, _ = toy_file
+    pf3 = str(tmp_path / "w3.p")
+    np.savetxt(pf3, rng.uniform(0.2, 0.8, size=(30, K)), fmt="%.17g")
+    with pytest.raises(SystemExit):
+        main(["-f", path3, "-k", str(K), "-n", "1", "-Q", qf, "-P", pf3,
+              "-d", str(tmp_path)])
 
 
 def test_cli_timing_harness(toy_file, tmp_path, capsys):
@@ -164,7 +253,7 @@ def test_cli_target_regimes(toy_file, tmp_path, capsys):
     rc = main(["-f", path, "-k", "2", "-u", "n", "2",
                "-d", str(tmp_path), "-r", "11"])
     assert rc == 0
-    out = capsys.readouterr().out.split()
+    out = capsys.readouterr().out.strip().splitlines()[-1].split()
     assert int(out[16]) >= 2               # n_maxll_times column
 
 

@@ -31,6 +31,10 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_ref_cache.json")
 
 
+# v5e bf16 peak (the MXU pass rate XLA/Mosaic use for f32 matmuls here)
+PEAK_FLOPS = 197e12
+
+
 def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     # steps amortize the ~25ms scalar-fetch round trip through the axon
     # tunnel; at 400 steps the reported rate is within ~3% of device rate
@@ -43,12 +47,13 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
         k_padded_size, pad_params_k
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    biallelic = M == 2 and os.environ.get("BENCH_BIALLELIC", "1") == "1"
     # mirror the engine's device policy (config.Options.device_policy):
     # Pallas path stores genotype counts int8; no missing data here, so the
     # miss reductions are statically skipped exactly as in a real fit
     cfg = EMConfig(admixture=True,
                    use_pallas="on" if use_pallas else "off",
-                   has_missing=False,
+                   has_missing=False, biallelic=biallelic,
                    k_true=K if use_pallas else 0)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -68,16 +73,19 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     p = jax.random.dirichlet(k3, jnp.full((M,), 1.0), (K, L))
     params = Params(eta=eta.astype(jnp.float32), p=p.astype(jnp.float32))
     if use_pallas:
-        # production layout (runtime/multistart._pad_k): K-padded lanes so
-        # no per-iteration relayout is needed
-        params = pad_params_k(params, k_padded_size(K))
+        # production layout (runtime/multistart): K-padded lanes (32 for
+        # the biallelic kernel, 128 otherwise) and the p0-representation
+        # when biallelic, so no per-iteration relayout is needed
+        from multiclust_tpu.runtime.multistart import _pad_k, _to_bi_repr
+        params = _pad_k(params, cfg)
+        params = _to_bi_repr(params, cfg, I, L)
 
     # pass md as an argument: closing over it would embed the genotype
     # tensor as an HLO constant (huge programs; the axon remote-compile
     # relay rejects them with HTTP 413)
     @jax.jit
     def run(params, md):
-        md = md.prepare_for_em()  # flatten x once, outside the loop
+        md = md.prepare_for_em(bi=cfg.bi_repr_active)
         def body(_, p):
             new, _, _ = em_step(p, md, cfg)
             return new
@@ -86,17 +94,23 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     # Through the remote-execution tunnel block_until_ready can return
     # before the computation finishes; force completion with a scalar
     # device->host fetch (costs ~30ms, amortized over `steps`).
-    float(run(params, md).p[0, 0, 0])            # compile + warmup
+    float(run(params, md).p.reshape(-1)[0])       # compile + warmup
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run(params, md).p[0, 0, 0])
+        float(run(params, md).p.reshape(-1)[0])
         best = min(best, time.perf_counter() - t0)
     iters_per_sec = steps / best
+    cells_per_sec = I * L * M * iters_per_sec
+    # useful-FLOP MFU: only the 3 matmul contractions over the TRUE K per
+    # genotype cell count as useful work (2*K FLOPs each); K-lane padding,
+    # recomputed denominators and elementwise ops do not
+    useful_flops = cells_per_sec * 3 * 2 * K
     return {
         "I": I, "L": L, "M": M, "K": K,
         "iters_per_sec": iters_per_sec,
-        "cells_per_sec": I * L * M * iters_per_sec,
+        "cells_per_sec": cells_per_sec,
+        "useful_mfu": useful_flops / PEAK_FLOPS,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
@@ -153,6 +167,12 @@ def main():
     size = os.environ.get("BENCH_SIZE", "full")
     if size == "small":
         ours = our_throughput(I=2048, L=512, steps=10, repeats=2)
+    elif size == "large":
+        # biobank-scale single-chip config (BASELINE.md config 5): int8
+        # genotypes 8.6 GB; LM = 128k forces the two-pass sweep kernels
+        # (B accumulator exceeds FUSED_B_VMEM_LIMIT)
+        ours = our_throughput(I=65536, L=65536, M=2, K=20, steps=20,
+                              repeats=2)
     else:
         ours = our_throughput()
     try:
@@ -167,6 +187,8 @@ def main():
         "value": round(ours["cells_per_sec"], 1),
         "unit": "cells/s",
         "vs_baseline": round(vs, 2),
+        "useful_mfu": round(ours["useful_mfu"], 4),
+        "shape": [ours["I"], ours["L"], ours["M"]],
     }))
 
 

@@ -82,9 +82,64 @@ def em_step(params: Params, md: ModelData,
     """One fused E+M iteration; logL is that of the INPUT params."""
     if cfg.eta_constrained:
         return _em_step_constrained(params, md, cfg)
+    from multiclust_tpu.model.common import is_bi_repr
+    if cfg.bi_repr_active and is_bi_repr(params):
+        return _em_step_bi_repr(params, md, cfg)
     if cfg.use_pallas != "off" and params.p.dtype == jnp.float32:
         return _em_step_unconstrained_pallas(params, md, cfg)
     return _em_step_unconstrained(params, md, cfg)
+
+
+def _bi_inputs(md: ModelData):
+    """x0/x1 [I, L] per-allele counts in storage dtype.  Prefer the
+    prepared md.x_bi alias (ModelData.prepare_for_em(bi=True)): the
+    strided x[:, :, m] slices are NOT hoisted out of the EM while-loop by
+    XLA and cost ~120us/iter of HBM traffic on the bench shape."""
+    if md.x_bi is not None:
+        return md.x_bi[0], md.x_bi[1]
+    return md.x[:, :, 0], md.x[:, :, 1]
+
+
+def _em_step_bi_repr(params, md, cfg):
+    """Biallelic full step on the p0-representation: params.p IS p0
+    [Kp, Lp] (kernel tile layout, pads zero), so NO per-iteration [K, L, 2]
+    relayout happens - one pallas_call per EM iteration, everything else is
+    the [I] logL reduction."""
+    from multiclust_tpu.ops.kernels import admixture_fullstep_biallelic, \
+        pick_layout_biallelic
+
+    eta, p0 = params.eta, params.p
+    Kp = eta.shape[-1]
+    ti, tl, Lp = pick_layout_biallelic(md.I, Kp, md.L)
+    assert ti and p0.shape[-1] == Lp, (md.I, Kp, md.L, p0.shape)
+    x0, x1 = _bi_inputs(md)
+    dL = Lp - md.L
+    if dL:
+        x0 = jnp.pad(x0, ((0, 0), (0, dL)))
+        x1 = jnp.pad(x1, ((0, 0), (0, dL)))
+    c = jnp.zeros((md.I, 1), eta.dtype)
+    eta_new, per_i, p0n = admixture_fullstep_biallelic(
+        eta, p0, x0, x1, c, ti=ti, tl=tl, k_true=cfg.k_true,
+        lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
+        project=cfg.do_projection, interpret=cfg.use_pallas == "interpret")
+    ll = df64.df_sum(per_i)
+    scale = jnp.sqrt(jnp.sum(per_i * per_i))
+    return Params(eta=eta_new, p=p0n), ll, scale
+
+
+def log_likelihood_bi_repr(params: Params, md: ModelData):
+    """df64 logL on the p0-representation (used by the accelerated accept
+    test); same math as the kernel's t accumulation."""
+    eta = params.eta
+    p0 = params.p[:, :md.L]
+    d0 = eta @ p0                                     # [I, L]
+    s = jnp.sum(eta, axis=1, keepdims=True)
+    d1 = s - d0
+    x0 = md.x[:, :, 0].astype(md.dtype)
+    x1 = md.x[:, :, 1].astype(md.dtype)
+    t = x0 * safe_log(d0) + x1 * safe_log(d1)
+    per_i = jnp.sum(t, axis=1)
+    return df64.df_sum(per_i), jnp.sqrt(jnp.sum(per_i * per_i))
 
 
 def _sharded_fullstep(params, md, cfg, p2, x2, interpret):
@@ -239,6 +294,14 @@ def _em_step_unconstrained_pallas(params, md, cfg):
         return _em_step_unconstrained_pallas_meshed(
             params, md, cfg, p2, x2, padded, interpret)
 
+    if (cfg.bi_repr_active and cfg.k_true and K % 32 == 0
+            and eta.shape[-1] == K):
+        # full-p params outside the engine (serial driver, fit_k1): use
+        # the biallelic kernel with per-iteration [K, L, 2] glue
+        out = _em_step_biallelic_pallas(params, md, cfg, interpret)
+        if out is not None:
+            return out
+
     ti = tl = LMp = 0
     if padded:
         ti, tl, LMp = pick_layout(md.I, K, md.L * md.M)
@@ -285,6 +348,48 @@ def _em_step_unconstrained_pallas(params, md, cfg):
         B = B + C[:, :, None]
     pc = p * B
     p_new = _normalize_p(pc, md, cfg)
+    return Params(eta=eta_new, p=p_new), ll, scale
+
+
+def _em_step_biallelic_pallas(params, md, cfg, interpret):
+    """Biallelic full step: ONE kernel does the sweep, the eta update AND
+    the p update (ops/kernels.admixture_fullstep_biallelic) - p1 = 1 - p0
+    halves the denominator/A matmuls vs the generic fullstep and the B
+    accumulators never leave VMEM.  Returns None when the shapes don't
+    tile (caller falls through to the generic path).
+
+    Edge divergence from the XLA path (documented): with projection OFF, a
+    cluster whose eta column is exactly zero gets p = (0, 1) here vs the
+    XLA epilogue's (0, 0)-then-unprojected row; with projection on (the
+    default) eta >= lb makes the case unreachable."""
+    from multiclust_tpu.ops.kernels import admixture_fullstep_biallelic, \
+        pick_layout_biallelic
+
+    eta, p = params.eta, params.p
+    K = params.K                                  # = Kp (K-padded layout)
+    ti, tl, Lp = pick_layout_biallelic(md.I, K, md.L)
+    if not ti:
+        return None
+    dL = Lp - md.L
+    p0 = p[:, :, 0]
+    x = md.x                                      # [I, L, 2] storage dtype
+    x0, x1 = x[:, :, 0], x[:, :, 1]
+    if dL:  # loop-invariant: XLA hoists these pads out of the EM loop
+        p0 = jnp.pad(p0, ((0, 0), (0, dL)))
+        x0 = jnp.pad(x0, ((0, 0), (0, dL)))
+        x1 = jnp.pad(x1, ((0, 0), (0, dL)))
+    c = jnp.zeros((md.I, 1), eta.dtype)
+    eta_new, per_i, p0n = admixture_fullstep_biallelic(
+        eta, p0, x0, x1, c, ti=ti, tl=tl, k_true=cfg.k_true,
+        lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
+        project=cfg.do_projection, interpret=interpret)
+    p0n = p0n[:, :md.L]
+    kv = _k_valid(cfg, K)
+    p1n = 1.0 - p0n if kv is None else jnp.where(kv[:, None], 1.0 - p0n,
+                                                 0.0)
+    p_new = jnp.stack([p0n, p1n], axis=-1)
+    ll = df64.df_sum(per_i)
+    scale = jnp.sqrt(jnp.sum(per_i * per_i))
     return Params(eta=eta_new, p=p_new), ll, scale
 
 

@@ -50,6 +50,13 @@ class ModelData(NamedTuple):
     # 1 byte/cell copy from the EM hot loop.  Derived data: any _replace
     # that touches x must reset it (or call prepare_for_em again).
     x_flat: Optional[Array] = None
+    # optional (x0, x1) pair of [I, L] per-allele aliases of biallelic x
+    # (storage dtype) for the biallelic kernel.  A TUPLE of two separate
+    # arrays, not a stacked [2, I, L]: slicing a stacked tensor inside the
+    # EM loop is NOT hoisted by XLA (~100us/iter extra on the bench
+    # shape); tuple leaves cost zero ops in the loop.  Same derived-data
+    # contract as x_flat.
+    x_bi: Optional[tuple] = None
 
     @property
     def I(self) -> int:  # noqa: E743
@@ -91,11 +98,15 @@ class ModelData(NamedTuple):
             return self.x_flat
         return self.x.reshape(self.I, self.L * self.M)
 
-    def prepare_for_em(self) -> "ModelData":
-        """Populate ``x_flat`` (call once per jitted segment, BEFORE the EM
-        while-loop, so the flatten/relayout happens once, not per
-        iteration)."""
-        return self._replace(x_flat=self.x.reshape(self.I, self.L * self.M))
+    def prepare_for_em(self, bi: bool = False) -> "ModelData":
+        """Populate ``x_flat`` (and ``x_bi`` when the biallelic kernel will
+        run) - call once per jitted segment, BEFORE the EM while-loop, so
+        the flatten/relayout happens once, not per iteration."""
+        x_bi = self.x_bi
+        if bi and x_bi is None and self.M == 2:
+            x_bi = (self.x[:, :, 0], self.x[:, :, 1])
+        return self._replace(
+            x_flat=self.x.reshape(self.I, self.L * self.M), x_bi=x_bi)
 
 
 class EMConfig(NamedTuple):
@@ -124,6 +135,11 @@ class EMConfig(NamedTuple):
     # (c_i = sum_l miss_il and C = eta^T miss, em_alg.c:400-431) entirely -
     # a static, trace-time decision made from the dataset by the caller.
     has_missing: bool = True
+    # True when every locus is strictly biallelic (M == 2, n_alleles == 2
+    # everywhere): unlocks the specialized Pallas full step that exploits
+    # p1 = 1 - p0 (half the denominator/A work, p update fully on-chip).
+    # Static, derived from the dataset by the caller like has_missing.
+    biallelic: bool = False
     # True number of clusters when the parameters carry K-padded rows/lanes
     # (pad entries zero, kept zero by masked projections).  The Pallas path
     # wants eta [I, 128k] and p [128k, L, M] so no per-iteration lane
@@ -150,6 +166,26 @@ class EMConfig(NamedTuple):
     @property
     def eta_is_vector(self) -> bool:
         return (not self.admixture) or self.eta_constrained
+
+    @property
+    def bi_repr_active(self) -> bool:
+        """True when chains should carry the biallelic p0-representation:
+        params.p holds ONLY the allele-0 frequencies [.., Kp, Lp] (p1 is
+        the implicit complement).  Avoids the per-iteration [K, L, 2]
+        relayout glue around the biallelic kernel - the EM/acceleration
+        machinery is pytree-shape-agnostic, so only the model functions
+        branch on it.  Affine parameter combinations (SQUAREM/QN points)
+        preserve the complement structure exactly."""
+        return (self.use_pallas != "off" and self.admixture
+                and not self.eta_constrained and self.biallelic
+                and not self.has_missing and bool(self.k_true)
+                and self.mesh is None)
+
+
+def is_bi_repr(params: "Params") -> bool:
+    """p0-representation marker: unbatched p is 2-D ([Kp, Lp]) instead of
+    the full [K, L, M]."""
+    return params.p.ndim == params.eta.ndim
 
 
 def model_data_from_dataset(ds, dtype=jnp.float32, device=None,

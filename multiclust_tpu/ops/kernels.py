@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -243,6 +245,184 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
         interpret=interpret,
     )(eta, p2, x2, c)
     return etan, t_out[:, 0], b_out
+
+
+def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
+                        etan_ref, t_ref, p0n_ref,
+                        a_scr, r_scr, b0_scr, b1_scr, *,
+                        tl: int, n_i: int, n_l: int, k_true: int,
+                        lb: float, plb: float, project: bool):
+    """Biallelic full EM step: see ``admixture_fullstep_biallelic``."""
+    i_idx = pl.program_id(0)
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _():
+        a_scr[:] = jnp.zeros_like(a_scr)
+        r_scr[:] = jnp.zeros_like(r_scr)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    @pl.when(jnp.logical_and(i_idx == 0, l_idx == 0))
+    def _():
+        b0_scr[:] = jnp.zeros_like(b0_scr)
+        b1_scr[:] = jnp.zeros_like(b1_scr)
+
+    eta = eta_ref[:]
+    col = pl.multiple_of(l_idx * tl, tl)
+    p0 = p0_ref[:, pl.ds(col, tl)]                    # [Kp, tl]
+    d0 = jnp.dot(eta, p0, preferred_element_type=jnp.float32)
+    s = jnp.sum(eta, axis=1, keepdims=True)           # ~1; exact complement
+    d1 = s - d0
+    # padded / degenerate columns have d = 0 with x = 0: clamp the
+    # denominator so 0 * recip stays 0 (no NaNs), log(d) * 0 stays 0
+    d0 = jnp.maximum(d0, 1e-30)
+    d1 = jnp.maximum(d1, 1e-30)
+    x0 = x0_ref[:].astype(jnp.float32)
+    x1 = x1_ref[:].astype(jnp.float32)
+    w0 = x0 * _recip(d0)
+    w1 = x1 * _recip(d1)
+    t_ref[:] += jnp.sum(x0 * jnp.log(d0) + x1 * jnp.log(d1), axis=1,
+                        keepdims=True)
+    # A_ik = sum_l [w0 p0 + w1 (1 - p0)]_k = (w0 - w1) @ p0^T + sum_l w1
+    a_scr[:] += jnp.dot(w0 - w1, p0.T, preferred_element_type=jnp.float32)
+    r_scr[:] += jnp.sum(w1, axis=1, keepdims=True)
+    b0_scr[:, pl.ds(col, tl)] += jnp.dot(
+        eta.T, w0, preferred_element_type=jnp.float32)
+    b1_scr[:, pl.ds(col, tl)] += jnp.dot(
+        eta.T, w1, preferred_element_type=jnp.float32)
+
+    @pl.when(l_idx == n_l - 1)
+    def _():
+        A = a_scr[:] + r_scr[:] + c_ref[:]
+        num = eta_ref[:] * A
+        tot = jnp.sum(num, axis=1, keepdims=True)
+        e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
+                       eta_ref[:])
+        if project:
+            e2 = _michelot_tile(e2, k_true, lb)
+        etan_ref[:] = e2
+
+    # B complete at the very last grid step: the whole p update (M-step
+    # normalization + biallelic closed-form projection) happens on-chip
+    @pl.when(jnp.logical_and(i_idx == n_i - 1, l_idx == n_l - 1))
+    def _():
+        p0f = p0_ref[:]
+        pc0 = p0f * b0_scr[:]
+        pc1 = (1.0 - p0f) * b1_scr[:]
+        tot = pc0 + pc1
+        q0 = jnp.where(tot > 0, pc0 * _recip(jnp.where(tot > 0, tot, 1.0)),
+                       0.0)
+        if project:
+            # upper bound must stay strictly below 1 in f32: with the
+            # reference's 1e-8 bound, 1-plb rounds to exactly 1.0 and the
+            # implicit complement 1-q0 would become an exact zero
+            # probability (ops/simplex.project_rows has the full story);
+            # clamp against the largest representable 1-max(plb, ulp)
+            ub = float(np.float32(1.0)
+                       - np.float32(max(plb, float(np.finfo(np.float32).eps))))
+            q0 = jnp.where(tot > 0, jnp.clip(q0, plb, ub), 0.0)
+        p0n_ref[:] = q0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ti", "tl", "k_true", "lb", "plb", "project", "interpret"))
+def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
+                                 k_true: int, lb: float, plb: float,
+                                 project: bool, interpret: bool = False):
+    """Fully fused biallelic (M=2, every locus 2 valid alleles) EM step.
+
+    Exploits p1 = 1 - p0 and d1 = sum_k eta - d0: the denominator and A
+    matmuls shrink to L columns (half the generic kernel's LM = 2L), the
+    B0/B1 accumulators stay in VMEM scratch and the COMPLETE p update
+    (normalization + the closed-form 2-simplex projection,
+    ops/simplex.project_rows M=2 branch) runs on-chip at the last grid
+    step - B never touches HBM and the XLA epilogue disappears.
+    Covers the no-missing-data case (cfg.has_missing=False); missing data
+    falls back to ``admixture_fullstep``.  Math: m_step_admixture_orig,
+    em_alg.c:592-754 restricted to M=2.
+
+    Args: eta [I, Kp] (K-padded, pads zero), p0 [Kp, Lp] allele-0
+    frequencies (pad rows/cols zero), x0/x1 [I, Lp] allele counts (any
+    int dtype, pad cols zero), c [I, 1] per-individual missing totals
+    (zeros here; kept for signature parity).
+    Returns: (eta_new [I, Kp] aliased onto eta, t [I] logL terms,
+    p0_new [Kp, Lp] aliased onto p0).
+    """
+    I, Kp = eta.shape
+    Lp = p0.shape[1]
+    # Kp needs only 32-lane granularity here: the denominator contraction
+    # is time-flat in Kp <= 128 while the A/B outputs scale with it
+    assert I % ti == 0 and Lp % tl == 0 and Kp % 32 == 0, (I, ti, Lp, tl)
+    n_i, n_l = I // ti, Lp // tl
+    f32 = jnp.float32
+
+    etan, t_out, p0n = pl.pallas_call(
+        functools.partial(_fullstep_bi_kernel, tl=tl, n_i=n_i, n_l=n_l,
+                          k_true=k_true, lb=lb, plb=plb, project=project),
+        grid=(n_i, n_l),
+        in_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((I, Kp), f32),
+            jax.ShapeDtypeStruct((I, 1), f32),
+            jax.ShapeDtypeStruct((Kp, Lp), f32),
+        ],
+        input_output_aliases={0: 0, 1: 2},
+        scratch_shapes=[pltpu.VMEM((ti, Kp), f32),
+                        pltpu.VMEM((ti, 1), f32),
+                        pltpu.VMEM((Kp, Lp), f32),
+                        pltpu.VMEM((Kp, Lp), f32)],
+        interpret=interpret,
+    )(eta, p0, x0, x1, c)
+    return etan, t_out[:, 0], p0n
+
+
+# (ti, tl, max Lp*Kp bytes) ladder for the biallelic kernel: VMEM holds
+# p0 + p0n + B0 + B1 (4 x Kp*Lp*4 bytes) plus the i-tiles.
+_FULLSTEP_BI_TILES = (
+    # measured on the bench shape (I=16k, L=2k, Kp=32): (512,1024) 184.6,
+    # (512,512) 179.0 Gcells/s; (1024,1024) blows the 16 MB scoped-vmem
+    # stack (17.4 M) - double-buffered x0/x1 tiles + resident
+    # p0/p0n/B0/B1 don't fit
+    (512, 1024, 3 * 1024 * 1024),
+    (512, 512, 3 * 1024 * 1024),
+    (256, 512, 3 * 1024 * 1024),
+    (128, 512, 3 * 1024 * 1024),
+    (64, 512, 3 * 1024 * 1024),
+    (1024, 256, 3 * 1024 * 1024),
+    (512, 256, 3 * 1024 * 1024),
+    (256, 256, 3 * 1024 * 1024),
+    (128, 256, 3 * 1024 * 1024),
+    (64, 256, 3 * 1024 * 1024),
+    (64, 128, 3 * 1024 * 1024),
+)
+
+
+def pick_layout_biallelic(I: int, Kp: int, L: int):
+    """(ti, tl, Lp) for the biallelic fullstep kernel, or (0, 0, 0)."""
+    for ti, tl, b_max in _FULLSTEP_BI_TILES:
+        Lp = _round_up(L, tl)
+        if I % ti == 0 and Kp * Lp * 4 <= b_max:
+            return ti, tl, Lp
+    return 0, 0, 0
 
 
 def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int):

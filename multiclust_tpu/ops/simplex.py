@@ -45,20 +45,45 @@ def project_rows(v: Array, mask: Array, n_valid: Array,
     lb = jnp.asarray(lower_bound, dtype)
     tot = jnp.asarray(total, dtype)
 
-    if v.shape[-1] == 2:
+    if v.shape[-1] == 2 and dtype == jnp.float32:
         # closed form for the biallelic case (the hot shape: SNP panels):
-        # one Michelot pass lands on the line x0+x1=tot, the clamp to
-        # [lb, tot-lb] is the (at most one) second pass.  Equivalent to
-        # the loop below but single-pass and free of the [.., 2]-lane
+        # one Michelot pass lands on the line x0+x1=tot; if one lane fell
+        # below lb the (at most one) second pass pins it at lb and the
+        # other at tot-lb.  Equivalent to the loop below (same op order,
+        # pass for pass) but single-pass and free of the [.., 2]-lane
         # while-loop (2 of 128 lanes useful) that dominates the p-update
-        # epilogue on TPU.
+        # epilogue on TPU.  f32 ONLY: f64 is the reference-parity path,
+        # and even a value-identical formulation shifts XLA's fusion/FMA
+        # choices by an ulp, which the fp-chaotic accelerated
+        # accept/backtrack amplifies into a different converged plateau -
+        # the warm-start goldens then drift off the reference binary
+        # (observed: same fit, same projections bitwise, logL 0.15 apart).
+        #
+        # The clamped pair must be written as (lb, survivor) EXACTLY,
+        # never derived as tot - clip(..): when lb is below the dtype's
+        # ulp at tot (f32 with the reference's 1e-8 bound), tot-lb rounds
+        # to tot and a derived complement becomes an exact 0 - a zero
+        # probability the E-step's masked logs turn into a wildly
+        # non-monotone logL (chains then oscillate forever; caught by
+        # test_impute_outfile_cli hanging).  Michelot's loop never emits
+        # a lane below lb, and neither does this.
         v0, v1 = v[..., 0], v[..., 1]
         m0, m1 = mask[..., 0], mask[..., 1]
         both = m0 & m1
-        p0 = jnp.clip((v0 - v1 + tot) * 0.5, lb, tot - lb)
+        # identical op order to the loop's first pass (csum, offset,
+        # subtract) so rows are bitwise the loop's output
+        offset = ((v0 + v1) - tot) * 0.5
+        r0 = v0 - offset
+        r1 = v1 - offset
+        c0 = r0 < lb                 # lane 0 clamped at lb
+        c1 = r1 < lb                 # lane 1 clamped at lb
+        # the loop's second pass computes the surviving lane as
+        # r - ((r + lb) - tot), not tot - lb; keep that op order too
+        # (summation visits lane 0 then lane 1)
+        p0 = jnp.where(c0, lb, jnp.where(c1, r0 - ((r0 + lb) - tot), r0))
+        p1 = jnp.where(c1, lb, jnp.where(c0, r1 - ((lb + r1) - tot), r1))
         p0 = jnp.where(both, p0, jnp.where(m0, tot, jnp.zeros((), dtype)))
-        p1 = jnp.where(both, tot - p0,
-                       jnp.where(m1, tot, jnp.zeros((), dtype)))
+        p1 = jnp.where(both, p1, jnp.where(m1, tot, jnp.zeros((), dtype)))
         return jnp.stack([p0, p1], axis=-1)
 
     w0 = jnp.where(mask, v, 0.0)

@@ -123,6 +123,9 @@ def model_em_step(params: Params, md: ModelData, cfg: EMConfig):
 
 def model_log_likelihood(params: Params, md: ModelData, cfg: EMConfig):
     if cfg.admixture:
+        from multiclust_tpu.model.common import is_bi_repr
+        if cfg.bi_repr_active and is_bi_repr(params):
+            return admixture.log_likelihood_bi_repr(params, md)
         return admixture.log_likelihood(params, md)
     return mixture.log_likelihood(params, md)
 
@@ -294,10 +297,27 @@ def qn1_point(x0: Params, u: Params, v: Params, s: Array) -> Params:
 
 def _project_params(params: Params, md: ModelData, cfg: EMConfig) -> Params:
     from multiclust_tpu.model.admixture import _k_valid, _project_eta_rows
+    from multiclust_tpu.model.common import is_bi_repr
     from multiclust_tpu.ops.simplex import project_rows
     if not cfg.do_projection:
         return params
     eta = _project_eta_rows(params.eta, cfg)
+    if cfg.bi_repr_active and is_bi_repr(params):
+        # p0-representation: project the implicit (p0, 1-p0) pair - the
+        # closed 2-simplex form is clip (ops/simplex.py M=2 branch).
+        # Upper bound stays strictly below 1 (largest representable
+        # 1-max(lb, ulp)): with the reference's 1e-8 bound, 1-lb rounds
+        # to 1.0 in f32 and the implicit complement would become an exact
+        # zero probability (see ops/simplex.project_rows).  Padded
+        # rows/cols drift to lb but are inert and reset to zero by the
+        # next kernel step's p update.
+        import numpy as _np
+        fi = _np.finfo(_np.asarray(0, params.p.dtype).dtype)
+        ub = float(fi.dtype.type(1.0)
+                   - fi.dtype.type(max(cfg.p_lower_bound, float(fi.eps))))
+        lb = jnp.asarray(cfg.p_lower_bound, params.p.dtype)
+        p = jnp.clip(params.p, lb, ub)
+        return Params(eta=eta, p=p)
     p = project_rows(params.p, md.mask[None], md.n_alleles[None, :],
                      cfg.p_lower_bound)
     kv = _k_valid(cfg, p.shape[0])

@@ -105,7 +105,7 @@ def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
 def shard_model_data(md: ModelData, mesh: Mesh) -> ModelData:
     # x_flat is derived data (prepare_for_em re-derives it inside jit with
     # the sharding propagated from x); don't ship it across the mesh
-    md = md._replace(x_flat=None)
+    md = md._replace(x_flat=None, x_bi=None)
     specs = data_specs(md.row_valid is not None)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(
@@ -191,7 +191,7 @@ def pad_md_rows_loci(md: ModelData, I_pad: int, L_pad: int) -> ModelData:
         row_valid=(jnp.pad(md.row_valid, (0, dI))
                    if md.row_valid is not None else
                    (jnp.arange(I_pad) < md.I if dI > 0 else None)),
-        x_flat=None)
+        x_flat=None, x_bi=None)
 
 
 def shardable_sizes(I: int, L: int, mesh: Mesh) -> Tuple[int, int]:

@@ -42,8 +42,11 @@ def cfg_from_options(opt: Options, K: int,
     """Static EM config; ``md`` (if given) fixes the trace-time
     ``has_missing`` flag so missing-free fits skip the miss reductions."""
     has_missing = True
+    biallelic = False
     if md is not None:
         has_missing = bool(jax.device_get(jnp.any(md.miss > 0)))
+        biallelic = md.M == 2 and bool(
+            jax.device_get(jnp.all(md.n_alleles == 2)))
     use_pallas, _ = opt.device_policy()
     k_true = K if (opt.admixture and not opt.eta_constrained) else 0
     mesh = None
@@ -60,22 +63,64 @@ def cfg_from_options(opt: Options, K: int,
         q=opt.q, n_init_iter=opt.n_init_iter, adjust_step=opt.adjust_step,
         monotonicity=opt.resolved_monotonicity(),
         use_pallas="on" if use_pallas else "off",
-        has_missing=has_missing, k_true=k_true, mesh=mesh)
+        has_missing=has_missing, biallelic=biallelic, k_true=k_true,
+        mesh=mesh)
 
 
-def _pad_k(params: Params, cfg: EMConfig) -> Params:
-    """K-pad admixture params to the Pallas lane layout (eta [.., I, 128k],
-    p [.., 128k, L, M], pads zero); no-op for the XLA/CPU paths."""
+def _pad_k(params: Params, cfg: EMConfig,
+           md: Optional[ModelData] = None) -> Params:
+    """K-pad admixture params to the Pallas lane layout (pads zero);
+    no-op for the XLA/CPU paths.  The generic kernels want 128-lane K;
+    the biallelic kernel only needs 32 (its A/B outputs scale with Kp -
+    measured 20% faster at K=20 - while matmul contraction depth <= 128
+    is time-flat on the MXU, so smaller padding loses nothing).  32-lane
+    padding is picked only when the biallelic kernel will actually tile
+    the fit shapes (resident B bounds Lp), else the generic 128 layout."""
     if (cfg.use_pallas != "off" and cfg.admixture
             and not cfg.eta_constrained and cfg.k_true):
         from multiclust_tpu.model.common import k_padded_size, pad_params_k
-        return pad_params_k(params, k_padded_size(cfg.k_true))
+        mult = 128
+        if cfg.bi_repr_active and md is not None:
+            from multiclust_tpu.ops.kernels import pick_layout_biallelic
+            Ip = _row_pad_target(md.I, cfg) or md.I
+            if pick_layout_biallelic(Ip, k_padded_size(cfg.k_true, 32),
+                                     md.L)[0]:
+                mult = 32
+        return pad_params_k(params, k_padded_size(cfg.k_true, mult))
     return params
+
+
+def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
+    """Convert K-padded full params to the biallelic p0-representation
+    (model/common.EMConfig.bi_repr_active): p [.., Kp, L, 2] ->
+    [.., Kp, Lp] holding allele-0 frequencies in the kernel tile layout.
+    No-op when inactive or the shapes don't tile."""
+    if not cfg.bi_repr_active or params.p.ndim == params.eta.ndim:
+        return params
+    from multiclust_tpu.ops.kernels import pick_layout_biallelic
+    Kp = params.eta.shape[-1]
+    ti, tl, Lp = pick_layout_biallelic(Ip, Kp, L)
+    if not ti:
+        return params  # untileable: the glue fallback handles full p
+    p0 = params.p[..., 0]
+    d = Lp - p0.shape[-1]
+    if d > 0:
+        pw = [(0, 0)] * (p0.ndim - 1) + [(0, d)]
+        p0 = jnp.pad(p0, pw)
+    return params._replace(p=p0)
 
 
 def _unpad_k(params: Params, cfg: EMConfig,
              n_rows: Optional[int] = None,
              n_loci: Optional[int] = None) -> Params:
+    if cfg.bi_repr_active and params.p.ndim == params.eta.ndim:
+        # reconstruct full p from the p0-representation (harvest time only)
+        kt = cfg.k_true or params.p.shape[-2]
+        p0 = params.p[..., :kt, :]
+        if n_loci is not None:
+            p0 = p0[..., :n_loci]
+        params = params._replace(eta=params.eta[..., :kt],
+                                 p=jnp.stack([p0, 1.0 - p0], axis=-1))
     if cfg.k_true and params.p.shape[-3] != cfg.k_true:
         from multiclust_tpu.model.common import unpad_params_k
         params = unpad_params_k(params, cfg.k_true)
@@ -90,6 +135,8 @@ def _unpad_k(params: Params, cfg: EMConfig,
 def _pad_params_loci(params: Params, Lp: int) -> Params:
     """Zero-pad the loci axis of p to the (mesh-padded) fit data's L;
     padded loci are fully masked, hence inert (test_padded_rows_are_inert)."""
+    if params.p.ndim == params.eta.ndim:
+        return params  # p0-representation: loci padded at conversion
     d = Lp - params.p.shape[-2]
     if d <= 0:
         return params
@@ -139,7 +186,7 @@ def _pad_md_rows(md: ModelData, Ip: int) -> ModelData:
         miss=jnp.pad(md.miss, ((0, d), (0, 0))),
         row_valid=(None if md.row_valid is None
                    else jnp.pad(md.row_valid, (0, d))),
-        x_flat=None)
+        x_flat=None, x_bi=None)
 
 
 def _pad_params_rows(params: Params, Ip: int, cfg: EMConfig) -> Params:
@@ -215,7 +262,7 @@ def _batch_fns(cfg: EMConfig, segment: int):
         Ip = _row_pad_target(md.I, cfg)
         if Ip:
             md = _pad_md_rows(md, Ip)
-        return md.prepare_for_em()
+        return md.prepare_for_em(bi=cfg.bi_repr_active)
 
     def prologue_one(state, md):
         md = prep(md)
@@ -237,6 +284,7 @@ def _batch_fns(cfg: EMConfig, segment: int):
         Ip = _row_pad_target(md.I, cfg) or md.I
         params = _pad_params_rows(params, Ip, cfg)
         params = _pad_params_loci(params, md.L)
+        params = _to_bi_repr(params, cfg, Ip, md.L)
         return em_mod.init_state(params, cfg)
 
     def refill_one(state, params, replace, md):
@@ -295,7 +343,7 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
     if warm is not None:
         # -Q/-P warm start: every init identical (initialize_model,
         # rnd_init.c:74-76)
-        warm = _pad_k(warm, cfg)
+        warm = _pad_k(warm, cfg, md)
         return tree_map(lambda x: jnp.broadcast_to(x[None], (1,) + x.shape),
                         warm), 1
 
@@ -307,7 +355,7 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
         procedure=opt.initialization_procedure,
         n_rand_em_init=opt.n_rand_em_init, codes=codes,
         md_score=md_score)
-    return _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg), B
+    return _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg, md), B
 
 
 
@@ -415,7 +463,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
             procedure=opt.initialization_procedure,
             n_rand_em_init=opt.n_rand_em_init, codes=codes,
             md_score=md_score)
-        return _pad_k(jax.vmap(init_fn)(keys), cfg)
+        return _pad_k(jax.vmap(init_fn)(keys), cfg, md_fit)
 
     key, sub = jax.random.split(key)
     state = mk_state(make_inits(sub, B), md_fit)
@@ -671,12 +719,12 @@ def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0,
 
 def _single_init(key, md, K, cfg, opt, codes, warm, md_score=None):
     if warm is not None:
-        return _pad_k(warm, cfg)
+        return _pad_k(warm, cfg, md)
     return _pad_k(rinit.initialize(
         key, md, K, cfg, method=opt.initialization_method,
         procedure=opt.initialization_procedure,
         n_rand_em_init=opt.n_rand_em_init, codes=codes,
-        md_score=md_score), cfg)
+        md_score=md_score), cfg, md)
 
 
 def hard_partition(params: Params, md: ModelData, admixture: bool):

@@ -97,7 +97,7 @@ def _fit_lattice(params_rb: Params, md_b: ModelData, cfg, segment: int = 16):
     body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
 
     def start_one(params, md):
-        md = md.prepare_for_em()
+        md = md.prepare_for_em(bi=cfg.bi_repr_active)
         state = em_mod.init_state(params, cfg)
         for _ in range(cfg.n_init_iter):
             state = em_mod.plain_step(state, md, cfg)
@@ -107,7 +107,7 @@ def _fit_lattice(params_rb: Params, md_b: ModelData, cfg, segment: int = 16):
         return state
 
     def seg_one(state, md):
-        md = md.prepare_for_em()
+        md = md.prepare_for_em(bi=cfg.bi_repr_active)
         return jax.lax.fori_loop(
             0, segment, lambda i, s: body(s, md, cfg), state)
 
@@ -154,7 +154,7 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
         for K in (opt.max_K - 1, opt.max_K):
             cfg = cfg_from_options(opt, K, md)
             md_b = jax.vmap(
-                lambda x: md._replace(x=x.astype(md.x.dtype), x_flat=None)
+                lambda x: md._replace(x=x.astype(md.x.dtype), x_flat=None, x_bi=None)
             )(counts_b)
             Ip = _row_pad_target(md.I, cfg)
             if Ip:
@@ -167,7 +167,7 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
                         procedure=opt.initialization_procedure,
                         n_rand_em_init=opt.n_rand_em_init,
                         codes=cd if opt.admixture else None)
-                    params = _pad_k(params, cfg)
+                    params = _pad_k(params, cfg, m)
                     return _pad_params_rows(params, Ip or m.I, cfg)
                 return jax.vmap(one)(jax.random.split(kr, B))
 
@@ -221,7 +221,7 @@ def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
         counts = simulate_replicate(ksim, h0_params, md, ploidy,
                                     opt.admixture)
         md_rep = md._replace(x=counts.astype(md.x.dtype),  # keeps storage dtype
-                             x_flat=None)
+                             x_flat=None, x_bi=None)
         codes = None
         if opt.admixture:
             codes = jnp.asarray(codes_from_counts(

@@ -112,7 +112,13 @@ def test_cli_mesh_fit_matches_single_device(toy_file, tmp_path, capsys):
     meshed = capsys.readouterr().out.strip().splitlines()[-1]
     ll_s = float(single.split()[9])
     ll_m = float(meshed.split()[9])
-    assert abs(ll_s - ll_m) < 1e-6
+    # same optimum to a few f32 ulps (~1.2e-4 at |logL|~1750): mesh and
+    # single-device trajectories diverge at the ulp level (different XLA
+    # fusion under partitioning) and EM amplifies ulps chaotically, so
+    # bitwise-identical converged logL is not a guaranteeable invariant;
+    # a real sharding bug (wrong psum, dropped shard) is orders of
+    # magnitude larger
+    assert abs(ll_s - ll_m) < 1e-3
     # parse errors
     with pytest.raises(SystemExit):
         parse_args(["-f", "x", "--mesh", "bogus"])

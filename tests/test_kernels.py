@@ -154,6 +154,130 @@ def test_fullstep_kernel_matches_xla(missing_rate):
                    - float(df64.df_value(ll_r))) < 5e-3
 
 
+def test_biallelic_fullstep_matches_xla():
+    """The biallelic full step (p1 = 1 - p0; p update entirely on-chip)
+    reproduces the XLA trajectory on strictly-biallelic data."""
+    from multiclust_tpu.model.common import (ModelData, k_padded_size,
+                                             pad_params_k, unpad_params_k)
+
+    rng = np.random.default_rng(9)
+    I, L, K = 48, 70, 4
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    eta = rng.dirichlet(np.full(K, 2.0), size=I)
+    x0 = rng.binomial(2, 0.5, size=(I, L))
+    counts = np.stack([x0, 2 - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    md_f = md._replace(x=md.x.astype(jnp.float32))
+    params = Params(eta=jnp.asarray(eta, jnp.float32),
+                    p=jnp.asarray(np.stack([p0t, 1 - p0t], axis=2),
+                                  jnp.float32))
+
+    cfg = EMConfig(admixture=True, has_missing=False)
+    cfg_bi = cfg._replace(k_true=K, use_pallas="interpret", biallelic=True)
+    ref = params
+    pad = pad_params_k(params, k_padded_size(K))
+    for it in range(4):
+        ref, ll_r, _ = admixture.em_step(ref, md_f, cfg)
+        pad, ll_p, _ = admixture.em_step(pad, md, cfg_bi)
+        np.testing.assert_array_equal(np.asarray(pad.eta[:, K:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(pad.p[K:]), 0.0)
+        got = unpad_params_k(pad, K)
+        np.testing.assert_allclose(np.asarray(got.eta), np.asarray(ref.eta),
+                                   rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                                   rtol=1e-4, atol=5e-5)
+        assert abs(float(df64.df_value(ll_p))
+                   - float(df64.df_value(ll_r))) < 5e-3
+        # p rows stay exact complements (the invariant the kernel exploits)
+        np.testing.assert_allclose(
+            np.asarray(got.p).sum(axis=2), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("accel", [0, 1])
+def test_bi_repr_engine_matches_xla(accel):
+    """The multi-start engine on the biallelic p0-REPRESENTATION (the
+    production TPU layout: p carried as [Kp, Lp] across whole segments)
+    reaches the XLA fit's results, plain and SQUAREM-accelerated (the
+    acceleration machinery runs on the p0 pytree: ring buffers, step
+    sizes, projection of trial points, guarded accept)."""
+    from multiclust_tpu.model.common import model_data_from_dataset
+    from multiclust_tpu.runtime.multistart import _pad_k, _to_bi_repr, \
+        _unpad_k, fit_batch
+
+    rng = np.random.default_rng(21)
+    I, L, K = 64, 80, 3
+    # STRUCTURED data (well-separated optima): basin comparison is
+    # meaningless on unstructured noise
+    p_true = rng.choice([0.1, 0.9], size=(K, L))
+    eta_true = rng.dirichlet(np.full(K, 0.3), size=I)
+    q = eta_true @ p_true
+    x0 = rng.binomial(2, q)
+    counts = np.stack([x0, 2 - x0], axis=2)
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    eta = rng.dirichlet(np.full(K, 2.0), size=I)
+    from multiclust_tpu.model.common import ModelData
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    md_f = md._replace(x=md.x.astype(jnp.float32))
+    params = Params(eta=jnp.asarray(eta, jnp.float32),
+                    p=jnp.asarray(np.stack([p0t, 1 - p0t], axis=2),
+                                  jnp.float32))
+    batched = jax.tree_util.tree_map(lambda t: t[None], params)
+
+    # cap both paths at the same iteration count: near convergence the
+    # logL plateau is flat while parameters still drift, so free-running
+    # chains stop at different ridge points and parameter comparison is
+    # meaningless; at equal iterations the trajectories track closely
+    # plain EM: run both to a fixed iteration cap - trajectories track
+    # within fp noise, so states are directly comparable.  Accelerated:
+    # accept/backtrack decisions flip on rounding and the trajectories
+    # diverge chaotically (while both monotonically improve), so compare
+    # converged logL at basin tolerance like the accelerated goldens.
+    if accel:
+        base = dict(admixture=True, has_missing=False, accel_scheme=1,
+                    adjust_step=5)
+    else:
+        base = dict(admixture=True, has_missing=False, accel_scheme=0,
+                    max_iter=120, abs_error=1e-12, noise_factor=0.0)
+    cfg_x = EMConfig(**base)
+    cfg_b = EMConfig(**base, use_pallas="interpret", biallelic=True,
+                     k_true=K)
+    assert cfg_b.bi_repr_active
+
+    ref_state, _ = fit_batch(batched, md_f, cfg_x)
+    bi = _to_bi_repr(_pad_k(batched, cfg_b, md), cfg_b, I, L)
+    assert bi.p.ndim == 3 and bi.p.shape[-1] != 2  # really the p0 repr
+    out_state, _ = fit_batch(bi, md, cfg_b)
+    got = _unpad_k(jax.tree_util.tree_map(lambda t: t[0], out_state.params),
+                   cfg_b, I, L)
+    ref_ll = float(ref_state.logL_hi[0] + ref_state.logL_lo[0])
+    out_ll = float(out_state.logL_hi[0] + out_state.logL_lo[0])
+    assert bool(out_state.stopped[0])
+    if accel:
+        # accelerated f32 chains stop at different plateau points; the
+        # invariant is that the bi-repr chain converges no worse
+        assert bool(out_state.converged[0])
+        assert out_ll >= ref_ll - 2.0, (out_ll, ref_ll)
+    else:
+        assert abs(int(out_state.n_iter[0])
+                   - int(ref_state.n_iter[0])) <= 2
+        assert abs(out_ll - ref_ll) < 0.1, (out_ll, ref_ll)
+        ref_params = jax.tree_util.tree_map(lambda t: t[0],
+                                            ref_state.params)
+        np.testing.assert_allclose(np.asarray(got.eta),
+                                   np.asarray(ref_params.eta), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(got.p),
+                                   np.asarray(ref_params.p), atol=2e-2)
+    # the p rows remain exact complements after reconstruction
+    np.testing.assert_allclose(np.asarray(got.p).sum(axis=2), 1.0,
+                               atol=1e-6)
+
+
 def test_pallas_em_step_matches_xla(setup):
     ds, md, params = setup
     cfg_x = EMConfig(admixture=True)

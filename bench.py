@@ -58,15 +58,34 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     ploidy = 2
-    # synthetic genotypes straight on device
-    draws = jax.random.randint(k1, (I, L, ploidy), 0, M)
-    counts = jnp.zeros((I, L, M), jnp.float32)
-    for a in range(ploidy):
-        counts = counts + jax.nn.one_hot(draws[:, :, a], M,
-                                         dtype=jnp.float32)
     storage = jnp.int8 if use_pallas else jnp.float32
-    md = ModelData(x=counts.astype(storage),
-                   miss=jnp.zeros((I, L), jnp.float32),
+    if M == 2:
+        # biobank-capable generation: chunk the bernoulli draws over rows
+        # so the f32 uniforms never exceed ~2 GB (a one_hot over [I, L, P]
+        # int32 draws costs 2 x I*L bytes PER PLOIDY in f32 - 32 GB at the
+        # large config - and OOMs 16 GB HBM before the fit even starts)
+        rows = max(1, min(I, (1 << 29) // max(L, 1)))
+        chunks = []
+        kk = k1
+        for i0 in range(0, I, rows):
+            kk, sub = jax.random.split(kk)
+            n = min(rows, I - i0)
+            u = jax.random.uniform(sub, (ploidy, n, L))
+            chunks.append(jnp.sum(u < 0.5, axis=0).astype(jnp.int8))
+        x0 = jnp.concatenate(chunks, axis=0)
+        counts = jnp.stack([x0, ploidy - x0], axis=-1).astype(storage)
+        del x0, chunks
+    else:
+        draws = jax.random.randint(k1, (I, L, ploidy), 0, M)
+        counts = jnp.zeros((I, L, M), jnp.float32)
+        for a in range(ploidy):
+            counts = counts + jax.nn.one_hot(draws[:, :, a], M,
+                                             dtype=jnp.float32)
+        counts = counts.astype(storage)
+    # miss is statically unused (has_missing=False); int8 zeros keep the
+    # large config inside HBM (an f32 [65k, 33k] miss alone is 8.6 GB)
+    md = ModelData(x=counts,
+                   miss=jnp.zeros((I, L), jnp.int8),
                    mask=jnp.ones((L, M), bool),
                    n_alleles=jnp.full((L,), M, jnp.int32))
     eta = jax.random.dirichlet(k2, jnp.full((K,), 2.0), (I,))
@@ -168,10 +187,13 @@ def main():
     if size == "small":
         ours = our_throughput(I=2048, L=512, steps=10, repeats=2)
     elif size == "large":
-        # biobank-scale single-chip config (BASELINE.md config 5): int8
-        # genotypes 8.6 GB; LM = 128k forces the two-pass sweep kernels
-        # (B accumulator exceeds FUSED_B_VMEM_LIMIT)
-        ours = our_throughput(I=65536, L=65536, M=2, K=20, steps=20,
+        # biobank-scale single-chip config (BASELINE.md config 5): 65k
+        # individuals x 16k SNPs; LM = 32k forces the two-pass sweep
+        # kernels (B accumulator exceeds FUSED_B_VMEM_LIMIT).  int8
+        # genotypes are 2 GB unpadded but XLA lays [I, L, 2] out at 2x
+        # (M padded to the 4-sublane tile) and the one-time x_flat
+        # relayout keeps a second copy live, so budget ~6 GB for x
+        ours = our_throughput(I=65536, L=16384, M=2, K=20, steps=20,
                               repeats=2)
     else:
         ours = our_throughput()

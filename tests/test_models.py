@@ -210,3 +210,77 @@ class TestInt8Storage:
         i64 = initialize(jax.random.PRNGKey(0), md64, 3, cfgm)
         i8 = initialize(jax.random.PRNGKey(0), md8, 3, cfgm)
         np.testing.assert_array_equal(np.asarray(i64.p), np.asarray(i8.p))
+
+
+class TestBacktracking:
+    def test_squarem_backtracking_engages(self):
+        """Varadhan backtracking (accel_em.c:76-82) actually ENGAGING: at
+        this seed SQUAREM-3 proposes s=-5.66 whose trial point is ~329
+        logL units WORSE than the EM iterate, so the s <- (s-1)/2 loop
+        must fire.  The test replays the loop by hand (same halving rule,
+        same guarded accept, accel_em.c:90-113) and checks
+        ``accel_macro_step`` lands on the same point."""
+        import jax
+
+        from multiclust_tpu.opt import em as em_mod
+        from multiclust_tpu.opt.em import (_newest, _project_params,
+                                           model_log_likelihood,
+                                           squarem_point, step_size,
+                                           two_em_steps)
+
+        rng = np.random.default_rng(2)
+        I, L, K = 40, 30, 3
+        p_true = rng.choice([0.15, 0.85], size=(K, L))
+        eta_true = rng.dirichlet(np.full(K, 0.3), size=I)
+        x0c = rng.binomial(2, eta_true @ p_true)
+        counts = np.stack([x0c, 2 - x0c], axis=2).astype(np.float64)
+        md = ModelData(x=jnp.asarray(counts),
+                       miss=jnp.zeros((I, L)),
+                       mask=jnp.ones((L, 2), bool),
+                       n_alleles=jnp.full((L,), 2, jnp.int32)
+                       ).prepare_for_em()
+        eta0 = rng.dirichlet(np.full(K, 2.0), I)
+        q = rng.uniform(0.2, 0.8, (K, L))
+        params = Params(eta=jnp.asarray(eta0),
+                        p=jnp.asarray(np.stack([q, 1 - q], axis=2)))
+        cfg = EMConfig(admixture=True, has_missing=False, accel_scheme=3,
+                       adjust_step=5)
+
+        state = em_mod.accel_macro_step(em_mod.init_state(params, cfg),
+                                        md, cfg)
+
+        # manual replay of the next macro step
+        s2, x0 = two_em_steps(state, md, cfg)
+        emll = float(df64.df_value(
+            model_log_likelihood(s2.params, md, cfg)[0]))
+        u, v = _newest(s2.ring, cfg.q)
+        s = float(step_size(3, u, v, jnp.float64))
+
+        def trial(sv):
+            pt = _project_params(squarem_point(x0, u, v, sv), md, cfg)
+            return pt, float(df64.df_value(
+                model_log_likelihood(pt, md, cfg)[0]))
+
+        pt, ll = trial(s)
+        # the engagement preconditions - the whole point of this test
+        assert s < -1.0
+        assert ll < emll - 100.0, (ll, emll)
+
+        n, sv = 0, s
+        while n < cfg.adjust_step and ll < emll and sv < -1.0:
+            sv = (sv - 1.0) / 2.0
+            pt, ll = trial(sv)
+            n += 1
+        assert n > 0                      # it really backtracked
+        accept = ll > emll and np.isfinite(ll)
+        expected = pt if accept else s2.params
+
+        out = em_mod.accel_macro_step(state, md, cfg)
+        np.testing.assert_allclose(np.asarray(out.params.eta),
+                                   np.asarray(expected.eta), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out.params.p),
+                                   np.asarray(expected.p), atol=1e-9)
+        assert bool(out.accel_step) == accept
+        # guarded accept keeps the chain monotone despite the bad trial
+        assert float(out.logL_hi + out.logL_lo) >= \
+            float(state.logL_hi + state.logL_lo) - 1e-6

@@ -342,6 +342,21 @@ TPU-NATIVE OPTIONS (no reference counterpart)
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> int:
+    """CLI entry: errors bubble here as MulticlustError/OSError and are
+    reported through the message() taxonomy, the error code becoming the
+    exit status (main, multiclust.c:157-164)."""
+    from multiclust_tpu.messages import Err, MsgType, MulticlustError, \
+        message
+    try:
+        return _main(argv)
+    except MulticlustError as e:
+        return message(sys.stderr, MsgType.ERROR, e.err, e.text)
+    except FileNotFoundError as e:
+        return message(sys.stderr, MsgType.ERROR, Err.FILE_OPEN_ERROR,
+                       e.filename or str(e))
+
+
+def _main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     # --platform cpu|tpu must act before any jax op (this container's
     # sitecustomize pins the TPU backend and ignores JAX_PLATFORMS)

@@ -29,10 +29,15 @@ import numpy as np
 
 from multiclust_tpu.config import MISSING, Options
 from multiclust_tpu.io.dataset import Dataset, from_haplotypes
+from multiclust_tpu.messages import Err, MulticlustError
 
 
-class StructureFormatError(ValueError):
-    pass
+class StructureFormatError(ValueError, MulticlustError):
+    """Invalid STRUCTURE file; carries Err.FILE_FORMAT_ERROR so cli.main
+    reports it through the message() taxonomy (message.h:28)."""
+
+    def __init__(self, text: str):
+        MulticlustError.__init__(self, Err.FILE_FORMAT_ERROR, text)
 
 
 def _parse_tokens_python(path: str):
@@ -63,6 +68,11 @@ def _parse_tokens_python(path: str):
 
 
 def _parse_tokens(path: str, use_native: bool = True):
+    import os
+    if not os.path.isfile(path):
+        # fopen failure is FILE_OPEN_ERROR in the taxonomy, distinct from
+        # a parse failure (read_file.c:47-49)
+        raise MulticlustError(Err.FILE_OPEN_ERROR, path)
     if use_native:
         try:
             from multiclust_tpu.io import fastread

@@ -13,7 +13,9 @@ import sys
 import time
 from typing import Optional
 
-MINIMAL = 3  # message.h:45-53
+from multiclust_tpu.messages import Verbosity
+
+MINIMAL = Verbosity.MINIMAL  # message.h:45-53
 
 
 def make_trace_printer(verbosity: int, out=None):

@@ -287,3 +287,38 @@ def test_library_api(toy_file):
     assert out.Q.shape[1] == out.estimate.aic_K
     assert np.allclose(out.P.sum(axis=2), 1.0, atol=1e-6)
     assert out.best.ever_converged
+
+
+def test_message_taxonomy(tmp_path, capsys):
+    """Error taxonomy + uniform message format (message.c:27-126,
+    message.h:12-53): canned strings, file::function(line) prefix, the
+    error code as exit status (multiclust.c:157-164)."""
+    import io as _io
+
+    from multiclust_tpu.messages import Err, MsgType, Verbosity, message
+
+    buf = _io.StringIO()
+    rc = message(buf, MsgType.ERROR, Err.FILE_NOT_FOUND, "nope.str")
+    out = buf.getvalue()
+    assert rc == int(Err.FILE_NOT_FOUND)
+    assert out.startswith("ERROR [test_cli.py::test_message_taxonomy(")
+    assert 'file "nope.str" not found' in out
+
+    buf = _io.StringIO()
+    message(buf, MsgType.WARNING, Err.OUT_OF_TIME, "3720")
+    assert "out of time (limit 01:02m)" in buf.getvalue()
+
+    assert Verbosity.MINIMAL == 3 and Verbosity.DEBUG == 7
+
+    # missing data file -> FILE_OPEN_ERROR through main
+    rc = main(["-f", str(tmp_path / "does-not-exist.str"), "-k", "2"])
+    assert rc == int(Err.FILE_OPEN_ERROR)
+    err = capsys.readouterr().err
+    assert 'could not open file' in err and "ERROR [" in err
+
+    # malformed STRUCTURE file -> FILE_FORMAT_ERROR taxonomy code
+    bad = tmp_path / "bad.str"
+    bad.write_text("loc0 loc1\n")
+    rc = main(["-f", str(bad), "-k", "2"])
+    assert rc == int(Err.FILE_FORMAT_ERROR)
+    assert "invalid file format" in capsys.readouterr().err

@@ -91,7 +91,7 @@ def parse_out_file(path):
 
 
 def fit_ours(ds, K, admixture, params0, accel=0, q=1, adjust_step=0,
-             constrained=False):
+             constrained=False, max_iter=0):
     import jax
     import jax.numpy as jnp
     from multiclust_tpu.model.common import EMConfig, \
@@ -100,7 +100,8 @@ def fit_ours(ds, K, admixture, params0, accel=0, q=1, adjust_step=0,
     lb = min(1e-8, 1.0 / ds.I / ds.ploidy - 0.5 / ds.I / ds.ploidy)
     cfg = EMConfig(admixture=admixture, eta_constrained=constrained,
                    abs_error=1e-4, eta_lower_bound=lb, p_lower_bound=lb,
-                   accel_scheme=accel, q=q, adjust_step=adjust_step)
+                   accel_scheme=accel, q=q, adjust_step=adjust_step,
+                   max_iter=max_iter)
     md = model_data_from_dataset(ds, dtype=jnp.float64)
     return fit(params0, md, cfg), md, cfg
 
@@ -345,3 +346,42 @@ def test_mixture_k1_parity(ref_binary, tmp_path, rng):
     npar = ds.n_parameters(1, admixture=False, eta_constrained=False)
     assert abs(aic(got, npar) - ref_aic) < 5e-3
     assert abs(bic(got, npar, ds.I) - ref_bic) < 5e-3
+
+
+@pytest.mark.parametrize("accel_args,accel,q,adjust,T", [
+    (["-s", "1", "-g", "20"], 1, 1, 20, 5),
+    (["-s", "1", "-g", "20"], 1, 1, 20, 11),
+    (["-s", "3", "-g", "20"], 3, 1, 20, 11),
+    (["-s", "4"], 4, 1, 0, 11),
+    (["-s", "6"], 4, 3, 0, 11),
+])
+def test_accel_fixed_iteration_trajectory(ref_binary, tmp_path, rng,
+                                          accel_args, accel, q, adjust, T):
+    """Tight accelerated-trajectory parity at a FIXED iteration budget.
+
+    The converged-run goldens accept any same-basin logL (+/-2.0) because
+    fp rounding flips accept/backtrack decisions near convergence.  Far
+    from convergence the decisions are decided by O(1) logL gaps, so an
+    iteration-capped run (-T, stop_condition em_alg.c:149-152) from a
+    shared warm start must match the reference step for step: a subtly
+    wrong step-size formula (step_size, accel_em.c:130-243) or secant
+    indexing would diverge within a few macro steps and fail the 1e-3
+    logL tolerance here.
+    """
+    K = 3
+    ds = make_biallelic(rng, I=60, L=30, K=K)
+    write_structure_file(ds, str(tmp_path / "toy.str"))
+    qfile, pfile, params0 = warm_start_files(rng, ds, K, str(tmp_path))
+
+    run_reference(ref_binary,
+                  ["-f", "toy.str", "-a", "-k", str(K), "-n", "1",
+                   "-T", str(T), "-Q", "warm.q", "-P", "warm.p"]
+                  + accel_args,
+                  cwd=str(tmp_path))
+    ref_logL, _, _ = parse_out_file(
+        str(tmp_path / f"toy.str.admix.K={K}.out.txt"))
+
+    res, _, _ = fit_ours(ds, K, True, params0, accel=accel, q=q,
+                         adjust_step=adjust, max_iter=T)
+    assert abs(res.logL - ref_logL) < 1e-3, \
+        (res.logL, ref_logL, res.n_iter)

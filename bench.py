@@ -96,7 +96,7 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
         # the biallelic kernel, 128 otherwise) and the p0-representation
         # when biallelic, so no per-iteration relayout is needed
         from multiclust_tpu.runtime.multistart import _pad_k, _to_bi_repr
-        params = _pad_k(params, cfg)
+        params = _pad_k(params, cfg, md)
         params = _to_bi_repr(params, cfg, I, L)
 
     # pass md as an argument: closing over it would embed the genotype

@@ -99,16 +99,28 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
         params = _pad_k(params, cfg, md)
         params = _to_bi_repr(params, cfg, I, L)
 
+    # BENCH_INTERVAL=N > 1 measures the production --check-interval path:
+    # N-1 logL-free iterations (want_ll=False skips the per-cell logs, the
+    # dominant VPU cost at small K) per full stop()-checked step
+    interval = max(1, int(os.environ.get("BENCH_INTERVAL", "1")))
+    n_macro = max(1, steps // interval)
+    steps = n_macro * interval
+
     # pass md as an argument: closing over it would embed the genotype
     # tensor as an HLO constant (huge programs; the axon remote-compile
     # relay rejects them with HTTP 413)
     @jax.jit
     def run(params, md):
         md = md.prepare_for_em(bi=cfg.bi_repr_active)
-        def body(_, p):
+        def blind(_, p):
+            new, _, _ = em_step(p, md, cfg, want_ll=False)
+            return new
+        def macro(_, p):
+            if interval > 1:
+                p = jax.lax.fori_loop(0, interval - 1, blind, p)
             new, _, _ = em_step(p, md, cfg)
             return new
-        return jax.lax.fori_loop(0, steps, body, params)
+        return jax.lax.fori_loop(0, n_macro, macro, params)
 
     # Through the remote-execution tunnel block_until_ready can return
     # before the computation finishes; force completion with a scalar

@@ -59,7 +59,13 @@ def parse_args(argv: List[str]) -> Options:
         elif a == "B":
             pass  # debug-only simplified loop in the reference (-B)
         elif a == "c":
-            if name.startswith("ch"):
+            if name.startswith("check-") or name.startswith("checki"):
+                # --check-interval N (TPU extension): evaluate convergence
+                # only every N-th plain-EM iteration (config.Options)
+                opt.check_interval = int(_need(argv, i, arg)); i += 1
+                if opt.check_interval < 1:
+                    raise UsageError("--check-interval must be >= 1")
+            elif name.startswith("ch"):
                 opt.checkpoint_dir = _need(argv, i, arg); i += 1
             else:
                 opt.eta_constrained = True
@@ -234,7 +240,7 @@ SYNOPSIS
 \t\t-m <n> --missing <n> -M -n <n> -o <s> -p <n> --projection --plus
 \t\t-Q <s> -P <s> -A <s> -r <n> -R -s <n> -t <n> -T <n> -u <s> -v [n]
 \t\t-w <s> -x --impute [<s>] --mesh <s> --checkpoint <s>
-\t\t--platform <s>] -f <s> [--format <s>]
+\t\t--check-interval <n> --platform <s>] -f <s> [--format <s>]
 \tpython -m multiclust_tpu.cli --simulate <qfile> <pfile> [<ofile>]
 
 \twhere <n> stands for integer, <s> for string, <d> for double
@@ -334,6 +340,12 @@ TPU-NATIVE OPTIONS (no reference counterpart)
 \t\tx M loci shards; 'auto' puts every device on the data axis.
 \t--checkpoint <dir>
 \t\tPersist/resume the multi-start sweep state.
+\t--check-interval <n>
+\t\tEvaluate convergence only every n-th plain-EM iteration; the
+\t\titerations in between skip the log-likelihood entirely (faster
+\t\tat small K).  Never stops prematurely (EM is monotone); the
+\t\titeration cap gains granularity n.  Ignored under -s and at
+\t\tverbosity > 3.  Default 1 (reference semantics).
 \t--platform <cpu|tpu>
 \t\tForce the JAX backend (cpu implies float64 semantics).
 """)

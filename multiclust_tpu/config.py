@@ -165,6 +165,16 @@ class Options:
                                       # fits on an accelerator backend)
     mesh_shape: Optional[tuple] = None  # (data_shards, loci_shards)
     checkpoint_dir: Optional[str] = None  # --checkpoint: sweep persistence
+    # --check-interval N: evaluate the log likelihood (and hence the
+    # convergence/monotonicity checks of stop(), em_alg.c:101-143) only
+    # every N-th plain-EM iteration; the N-1 iterations between checks run
+    # a logL-free kernel.  DEVIATION from the reference, which checks every
+    # iteration - but EM is monotone over any number of steps, so interval
+    # checking can only stop LATER (never prematurely) and converges to the
+    # same optimum; the iteration cap (-T) gains granularity N.  Ignored
+    # under acceleration (-s: the guarded accept needs logL every macro
+    # step) and at verbosity > MINIMAL (the per-iteration trace contract).
+    check_interval: int = 1
     monotonicity: str = "auto"        # "fatal" (reference, em_alg.c:115-120),
                                       # "warn", "off", or "auto": fatal on
                                       # float64 (reference semantics are
@@ -199,6 +209,11 @@ class Options:
         if (not out.target_ll and not out.target_revisit
                 and not out.n_seconds and not out.n_init):
             out.n_init = 1
+        out.check_interval = max(1, out.check_interval)
+        if out.verbosity > 3:
+            # per-iteration trace contract (em_alg.c:123-136) requires a
+            # logL at every step
+            out.check_interval = 1
         if out.min_K > out.max_K:
             raise ValueError(
                 f"Minimum K ({out.min_K}) must not exceed maximum K "

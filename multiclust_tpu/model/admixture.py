@@ -77,17 +77,24 @@ def _normalize_p(pc: Array, md: ModelData, cfg: EMConfig) -> Array:
     return p
 
 
-def em_step(params: Params, md: ModelData,
-            cfg: EMConfig) -> Tuple[Params, df64.DF, Array]:
-    """One fused E+M iteration; logL is that of the INPUT params."""
+def em_step(params: Params, md: ModelData, cfg: EMConfig,
+            want_ll: bool = True) -> Tuple[Params, df64.DF, Array]:
+    """One fused E+M iteration; logL is that of the INPUT params.
+
+    ``want_ll=False`` (static) skips the logL accumulation - the per-cell
+    log is the dominant VPU cost of the fused kernels once the MXU stops
+    being contraction-bound (BASELINE.md small-K analysis) - and returns
+    zero ll/scale.  Used by the check-interval driver
+    (opt/em.blind_plain_steps) for the iterations between stop() checks.
+    """
     if cfg.eta_constrained:
         return _em_step_constrained(params, md, cfg)
     from multiclust_tpu.model.common import is_bi_repr
     if cfg.bi_repr_active and is_bi_repr(params):
-        return _em_step_bi_repr(params, md, cfg)
+        return _em_step_bi_repr(params, md, cfg, want_ll)
     if cfg.use_pallas != "off" and params.p.dtype == jnp.float32:
-        return _em_step_unconstrained_pallas(params, md, cfg)
-    return _em_step_unconstrained(params, md, cfg)
+        return _em_step_unconstrained_pallas(params, md, cfg, want_ll)
+    return _em_step_unconstrained(params, md, cfg, want_ll)
 
 
 def _bi_inputs(md: ModelData):
@@ -100,7 +107,7 @@ def _bi_inputs(md: ModelData):
     return md.x[:, :, 0], md.x[:, :, 1]
 
 
-def _em_step_bi_repr(params, md, cfg):
+def _em_step_bi_repr(params, md, cfg, want_ll=True):
     """Biallelic full step on the p0-representation: params.p IS p0
     [Kp, Lp] (kernel tile layout, pads zero), so NO per-iteration [K, L, 2]
     relayout happens - one pallas_call per EM iteration, everything else is
@@ -121,7 +128,11 @@ def _em_step_bi_repr(params, md, cfg):
     eta_new, per_i, p0n = admixture_fullstep_biallelic(
         eta, p0, x0, x1, c, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
-        project=cfg.do_projection, interpret=cfg.use_pallas == "interpret")
+        project=cfg.do_projection, compute_t=want_ll,
+        interpret=cfg.use_pallas == "interpret")
+    if not want_ll:
+        z = jnp.zeros((), eta.dtype)
+        return Params(eta=eta_new, p=p0n), (z, z), z
     ll = df64.df_sum(per_i)
     scale = jnp.sqrt(jnp.sum(per_i * per_i))
     return Params(eta=eta_new, p=p0n), ll, scale
@@ -142,7 +153,7 @@ def log_likelihood_bi_repr(params: Params, md: ModelData):
     return df64.df_sum(per_i), jnp.sqrt(jnp.sum(per_i * per_i))
 
 
-def _sharded_fullstep(params, md, cfg, p2, x2, interpret):
+def _sharded_fullstep(params, md, cfg, p2, x2, interpret, want_ll=True):
     """Pallas full step under jax.shard_map over the data axis (loci
     unsharded): each shard runs the fused kernel on its I-rows - the
     in-kernel eta update is purely per-individual, hence shard-local - and
@@ -173,7 +184,7 @@ def _sharded_fullstep(params, md, cfg, p2, x2, interpret):
         etan, per_i, B = admixture_fullstep(
             eta_l, p2_g, x2_l, c_l, ti=ti, tl=tl, k_true=cfg.k_true,
             lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
-            interpret=interpret)
+            compute_t=want_ll, interpret=interpret)
         return etan, per_i, jax.lax.psum(B, DATA_AXIS)
 
     eta_new, per_i, B = jax.shard_map(
@@ -185,7 +196,7 @@ def _sharded_fullstep(params, md, cfg, p2, x2, interpret):
     return eta_new, per_i, B[:, :LM]
 
 
-def _sharded_sweep(params, md, cfg, p2, x2, interpret):
+def _sharded_sweep(params, md, cfg, p2, x2, interpret, want_ll=True):
     """Pallas sweep statistics under a 2-D (data x loci) mesh: each shard
     streams its (I_local, LM_local) tile of x through the fused-sweep
     kernel; A/t psum over the loci axis (per-individual reductions span
@@ -208,10 +219,10 @@ def _sharded_sweep(params, md, cfg, p2, x2, interpret):
             eta_l, p2_l, x2_l)
         if fused_fits(eta_p.shape[1], p2_p.shape[1]):
             A_p, t_p, B_p = admixture_sweep_fused(
-                eta_p, p2_p, x2_p, interpret=interpret)
+                eta_p, p2_p, x2_p, compute_t=want_ll, interpret=interpret)
         else:
             A_p, t_p, B_p = admixture_sweep_stats(
-                eta_p, p2_p, x2_p, interpret=interpret)
+                eta_p, p2_p, x2_p, compute_t=want_ll, interpret=interpret)
         A = jax.lax.psum(A_p[:I_l, :K_l], MODEL_AXIS)
         t = jax.lax.psum(t_p[:I_l], MODEL_AXIS)
         B = jax.lax.psum(B_p[:K_l, :LM_l], DATA_AXIS)
@@ -225,7 +236,7 @@ def _sharded_sweep(params, md, cfg, p2, x2, interpret):
         check_vma=False)(params.eta, p2, x2)
 
 
-def _em_step_unconstrained(params, md, cfg):
+def _em_step_unconstrained(params, md, cfg, want_ll=True):
     eta, p = params.eta, params.p                     # [I,K], [K,L,M]
     K = params.K
     p2 = p.reshape(K, -1)                             # [K, LM]
@@ -234,10 +245,14 @@ def _em_step_unconstrained(params, md, cfg):
     denom = eta @ p2                                  # [I, LM]  (MXU)
     w = _safe_div(x2, denom)                          # [I, LM]
 
-    t = jnp.where(x2 > 0, x2 * safe_log(denom), 0.0)
-    per_i = jnp.sum(t, axis=1)
-    ll = df64.df_sum(per_i)
-    scale = jnp.sqrt(jnp.sum(per_i * per_i))
+    if want_ll:
+        t = jnp.where(x2 > 0, x2 * safe_log(denom), 0.0)
+        per_i = jnp.sum(t, axis=1)
+        ll = df64.df_sum(per_i)
+        scale = jnp.sqrt(jnp.sum(per_i * per_i))
+    else:
+        z = jnp.zeros((), eta.dtype)
+        ll, scale = (z, z), z
 
     # eta update: sum_lm d_iklm = eta_ik (A_ik + c_i)
     A = w @ p2.T                                      # [I, K]  (MXU)
@@ -263,7 +278,7 @@ def _em_step_unconstrained(params, md, cfg):
     return Params(eta=eta_new, p=p_new), ll, scale
 
 
-def _em_step_unconstrained_pallas(params, md, cfg):
+def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
     """Pallas path: the [I, LM] denominators/weights never touch HBM
     (ops/kernels.py); identical math to _em_step_unconstrained.
 
@@ -292,13 +307,13 @@ def _em_step_unconstrained_pallas(params, md, cfg):
     if cfg.mesh is not None and (cfg.data_shards > 1
                                  or cfg.model_shards > 1):
         return _em_step_unconstrained_pallas_meshed(
-            params, md, cfg, p2, x2, padded, interpret)
+            params, md, cfg, p2, x2, padded, interpret, want_ll)
 
     if (cfg.bi_repr_active and cfg.k_true and K % 32 == 0
             and eta.shape[-1] == K):
         # full-p params outside the engine (serial driver, fit_k1): use
         # the biallelic kernel with per-iteration [K, L, 2] glue
-        out = _em_step_biallelic_pallas(params, md, cfg, interpret)
+        out = _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll)
         if out is not None:
             return out
 
@@ -315,16 +330,16 @@ def _em_step_unconstrained_pallas(params, md, cfg):
         eta_new, per_i, B = admixture_fullstep(
             eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
             lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
-            interpret=interpret)
+            compute_t=want_ll, interpret=interpret)
         B = B[:, :LM]
     else:
         eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, x2)
         if fused_fits(eta_p.shape[1], p2_p.shape[1]):
             A_p, t_p, B_p = admixture_sweep_fused(
-                eta_p, p2_p, x2_p, interpret=interpret)
+                eta_p, p2_p, x2_p, compute_t=want_ll, interpret=interpret)
         else:
             A_p, t_p, B_p = admixture_sweep_stats(
-                eta_p, p2_p, x2_p, interpret=interpret)
+                eta_p, p2_p, x2_p, compute_t=want_ll, interpret=interpret)
         A = A_p[:I, :K]
         B = B_p[:K, :LM]
         per_i = t_p[:I]
@@ -351,7 +366,7 @@ def _em_step_unconstrained_pallas(params, md, cfg):
     return Params(eta=eta_new, p=p_new), ll, scale
 
 
-def _em_step_biallelic_pallas(params, md, cfg, interpret):
+def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
     """Biallelic full step: ONE kernel does the sweep, the eta update AND
     the p update (ops/kernels.admixture_fullstep_biallelic) - p1 = 1 - p0
     halves the denominator/A matmuls vs the generic fullstep and the B
@@ -382,7 +397,7 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret):
     eta_new, per_i, p0n = admixture_fullstep_biallelic(
         eta, p0, x0, x1, c, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
-        project=cfg.do_projection, interpret=interpret)
+        project=cfg.do_projection, compute_t=want_ll, interpret=interpret)
     p0n = p0n[:, :md.L]
     kv = _k_valid(cfg, K)
     p1n = 1.0 - p0n if kv is None else jnp.where(kv[:, None], 1.0 - p0n,
@@ -394,7 +409,7 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret):
 
 
 def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
-                                         interpret):
+                                         interpret, want_ll=True):
     """Multi-chip Pallas step: full-step kernel per data shard when loci
     are unsharded, sweep kernels + XLA epilogue on a 2-D mesh, and the
     plain XLA/GSPMD formulation when the local shapes don't tile."""
@@ -403,13 +418,13 @@ def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
 
     eta_new = None
     if cfg.model_shards == 1 and padded:
-        out = _sharded_fullstep(params, md, cfg, p2, x2, interpret)
+        out = _sharded_fullstep(params, md, cfg, p2, x2, interpret, want_ll)
         if out is not None:
             eta_new, per_i, B = out
     if eta_new is None:
-        out = _sharded_sweep(params, md, cfg, p2, x2, interpret)
+        out = _sharded_sweep(params, md, cfg, p2, x2, interpret, want_ll)
         if out is None:
-            return _em_step_unconstrained(params, md, cfg)
+            return _em_step_unconstrained(params, md, cfg, want_ll)
         A, per_i, B = out
         if cfg.has_missing:
             A = A + jnp.sum(md.miss, axis=1, keepdims=True)

@@ -145,6 +145,11 @@ class EMConfig(NamedTuple):
     # wants eta [I, 128k] and p [128k, L, M] so no per-iteration lane
     # pad/relayout is needed; 0 = parameters are unpadded (K = p.shape[0]).
     k_true: int = 0
+    # Evaluate logL/convergence only every N-th plain-EM iteration; the
+    # N-1 steps between checks skip the logL accumulation entirely
+    # (config.Options.check_interval has the semantics discussion).  Only
+    # consulted by the plain-EM drivers (opt/em.plain_macro_step).
+    check_interval: int = 1
     # Device mesh for multi-chip fits (None = single device).  A
     # jax.sharding.Mesh is hashable, so the config stays a valid static jit
     # argument.  The XLA E/M path needs no code change under a mesh (GSPMD

@@ -152,7 +152,7 @@ def _michelot_tile(v, k_true: int, lb: float):
 
 def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, etan_ref, t_ref, b_ref,
                      a_scr, *, tl: int, n_l: int, k_true: int, lb: float,
-                     project: bool):
+                     project: bool, compute_t: bool):
     i_idx = pl.program_id(0)
     l_idx = pl.program_id(1)
 
@@ -171,9 +171,10 @@ def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, etan_ref, t_ref, b_ref,
     pos = xb > 0
     safe_d = jnp.where(denom > 0, denom, 1.0)
     w = jnp.where(pos, xb * _recip(safe_d), 0.0)
-    t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+    if compute_t:
+        t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+        t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
     a_scr[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
-    t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
     col = pl.multiple_of(l_idx * tl, tl)
     b_ref[:, pl.ds(col, tl)] += jnp.dot(
         eta.T, w, preferred_element_type=jnp.float32)
@@ -194,9 +195,10 @@ def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, etan_ref, t_ref, b_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ti", "tl", "k_true", "lb", "project", "interpret"))
+    "ti", "tl", "k_true", "lb", "project", "compute_t", "interpret"))
 def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
-                       lb: float, project: bool, interpret: bool = False):
+                       lb: float, project: bool, compute_t: bool = True,
+                       interpret: bool = False):
     """Fused sweep + complete eta update in ONE kernel.
 
     Args: eta [I, Kp] (K-padded layout, pads zero), p2 [Kp, LMp],
@@ -205,6 +207,9 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
     Returns: eta_new [I, Kp] (normalized + projected, pads zero; buffer
     ALIASED onto the eta input so the EM loop carry is in-place),
     t [I] per-individual logL terms, B [Kp, LMp] p-update numerators.
+    With ``compute_t=False`` the logL accumulation (the per-cell logs) is
+    skipped and t is returned as zeros - used by the check-interval EM
+    driver (opt/em.blind_plain_steps) between convergence checks.
     """
     I, Kp = eta.shape
     LMp = p2.shape[1]
@@ -215,7 +220,7 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
 
     etan, t_out, b_out = pl.pallas_call(
         functools.partial(_fullstep_kernel, tl=tl, n_l=n_l, k_true=k_true,
-                          lb=lb, project=project),
+                          lb=lb, project=project, compute_t=compute_t),
         grid=(n_i, n_l),
         in_specs=[
             pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
@@ -251,7 +256,8 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
                         etan_ref, t_ref, p0n_ref,
                         a_scr, r_scr, b0_scr, b1_scr, *,
                         tl: int, n_i: int, n_l: int, k_true: int,
-                        lb: float, plb: float, project: bool):
+                        lb: float, plb: float, project: bool,
+                        compute_t: bool):
     """Biallelic full EM step: see ``admixture_fullstep_biallelic``."""
     i_idx = pl.program_id(0)
     l_idx = pl.program_id(1)
@@ -281,8 +287,9 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
     x1 = x1_ref[:].astype(jnp.float32)
     w0 = x0 * _recip(d0)
     w1 = x1 * _recip(d1)
-    t_ref[:] += jnp.sum(x0 * jnp.log(d0) + x1 * jnp.log(d1), axis=1,
-                        keepdims=True)
+    if compute_t:
+        t_ref[:] += jnp.sum(x0 * jnp.log(d0) + x1 * jnp.log(d1), axis=1,
+                            keepdims=True)
     # A_ik = sum_l [w0 p0 + w1 (1 - p0)]_k = (w0 - w1) @ p0^T + sum_l w1
     a_scr[:] += jnp.dot(w0 - w1, p0.T, preferred_element_type=jnp.float32)
     r_scr[:] += jnp.sum(w1, axis=1, keepdims=True)
@@ -325,10 +332,11 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ti", "tl", "k_true", "lb", "plb", "project", "interpret"))
+    "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "interpret"))
 def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
                                  k_true: int, lb: float, plb: float,
-                                 project: bool, interpret: bool = False):
+                                 project: bool, compute_t: bool = True,
+                                 interpret: bool = False):
     """Fully fused biallelic (M=2, every locus 2 valid alleles) EM step.
 
     Exploits p1 = 1 - p0 and d1 = sum_k eta - d0: the denominator and A
@@ -358,7 +366,8 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
 
     etan, t_out, p0n = pl.pallas_call(
         functools.partial(_fullstep_bi_kernel, tl=tl, n_i=n_i, n_l=n_l,
-                          k_true=k_true, lb=lb, plb=plb, project=project),
+                          k_true=k_true, lb=lb, plb=plb, project=project,
+                          compute_t=compute_t),
         grid=(n_i, n_l),
         in_specs=[
             pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
@@ -425,7 +434,8 @@ def pick_layout_biallelic(I: int, Kp: int, L: int):
     return 0, 0, 0
 
 
-def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int):
+def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int,
+                  compute_t: bool):
     i_idx = pl.program_id(0)
     l_idx = pl.program_id(1)
 
@@ -444,22 +454,25 @@ def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int):
     pos = xb > 0
     safe_d = jnp.where(denom > 0, denom, 1.0)
     w = jnp.where(pos, xb * _recip(safe_d), 0.0)
-    t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+    if compute_t:
+        t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+        t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
     a_ref[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
-    t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
     col = pl.multiple_of(l_idx * tl, tl)
     b_ref[:, pl.ds(col, tl)] += jnp.dot(
         eta_ref[:].T, w, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("ti", "tl", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ti", "tl", "compute_t",
+                                             "interpret"))
 def admixture_sweep_fused(eta, p2, x2, *, ti: int = 256, tl: int = 512,
-                          interpret: bool = False):
+                          compute_t: bool = True, interpret: bool = False):
     """Single-pass fused sweep statistics (see module docstring).
 
     Same contract as ``admixture_sweep_stats`` but reads x once and runs
     the denominator matmul once per tile; caller must check
-    ``fused_fits(Kp, LMp)`` first.
+    ``fused_fits(Kp, LMp)`` first.  ``compute_t=False`` skips the logL
+    accumulation (t returned as zeros; check-interval mode).
     """
     I, Kp = eta.shape
     LMp = p2.shape[1]
@@ -469,7 +482,7 @@ def admixture_sweep_fused(eta, p2, x2, *, ti: int = 256, tl: int = 512,
     f32 = jnp.float32
 
     a_out, t_out, b_out = pl.pallas_call(
-        functools.partial(_fused_kernel, tl=tl),
+        functools.partial(_fused_kernel, tl=tl, compute_t=compute_t),
         grid=(n_i, n_l),
         in_specs=[
             pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
@@ -497,7 +510,7 @@ def admixture_sweep_fused(eta, p2, x2, *, ti: int = 256, tl: int = 512,
     return a_out, t_out[:, 0], b_out
 
 
-def _istats_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref):
+def _istats_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, *, compute_t: bool):
     l_idx = pl.program_id(1)
 
     @pl.when(l_idx == 0)
@@ -511,9 +524,10 @@ def _istats_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref):
     pos = xb > 0
     safe_d = jnp.where(denom > 0, denom, 1.0)
     w = jnp.where(pos, xb * _recip(safe_d), 0.0)
-    t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+    if compute_t:
+        t = jnp.where(pos, xb * jnp.log(safe_d), 0.0)
+        t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
     a_ref[:] += jnp.dot(w, p_ref[:].T, preferred_element_type=jnp.float32)
-    t_ref[:] += jnp.sum(t, axis=1, keepdims=True)
 
 
 def _lstats_kernel(eta_ref, p_ref, x_ref, b_ref):
@@ -532,9 +546,10 @@ def _lstats_kernel(eta_ref, p_ref, x_ref, b_ref):
                         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("ti", "tl", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ti", "tl", "compute_t",
+                                             "interpret"))
 def admixture_sweep_stats(eta, p2, x2, *, ti: int = 256, tl: int = 512,
-                          interpret: bool = False):
+                          compute_t: bool = True, interpret: bool = False):
     """Fused sweep statistics.
 
     Args:
@@ -551,7 +566,7 @@ def admixture_sweep_stats(eta, p2, x2, *, ti: int = 256, tl: int = 512,
     f32 = jnp.float32
 
     a_out, t_out = pl.pallas_call(
-        _istats_kernel,
+        functools.partial(_istats_kernel, compute_t=compute_t),
         grid=(n_i, n_l),
         in_specs=[
             pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),

@@ -50,12 +50,16 @@ class FitResult:
 def _jitted_steps(cfg: EMConfig):
     plain = jax.jit(lambda s, md: em_mod.plain_step(s, md, cfg),
                     donate_argnums=0)
+    # check-interval variant for the main loop (warmup keeps plain: the
+    # reference's -i warmup iterations are individually stop()-checked)
+    plain_chk = jax.jit(lambda s, md: em_mod.plain_macro_step(s, md, cfg),
+                        donate_argnums=0)
     collect = jax.jit(lambda s, md: em_mod.two_em_steps(s, md, cfg)[0],
                       donate_argnums=0)
     macro = jax.jit(lambda s, md: em_mod.accel_macro_step(s, md, cfg),
                     donate_argnums=0)
     k1 = jax.jit(lambda p, md: em_mod.fit_k1(p, md, cfg))
-    return plain, collect, macro, k1
+    return plain, plain_chk, collect, macro, k1
 
 
 def fit(params0: Params, md: ModelData, cfg: EMConfig, *,
@@ -63,7 +67,7 @@ def fit(params0: Params, md: ModelData, cfg: EMConfig, *,
         start_time: Optional[float] = None,
         trace: Optional[Callable] = None) -> FitResult:
     """Run one EM chain to convergence, host-orchestrated."""
-    plain, collect, macro, k1 = _jitted_steps(cfg)
+    plain, plain_chk, collect, macro, k1 = _jitted_steps(cfg)
     t0 = time.time() if start_time is None else start_time
     md = md.prepare_for_em(bi=cfg.bi_repr_active)  # hoist x aliases once
 
@@ -98,7 +102,7 @@ def fit(params0: Params, md: ModelData, cfg: EMConfig, *,
             if trace:
                 trace(state, kind="EM")
 
-    step = macro if accel else plain
+    step = macro if accel else plain_chk
     while not bool(state.stopped):
         if timed_out():
             time_stop = True
@@ -145,7 +149,8 @@ def make_compiled_fit(cfg: EMConfig, max_iter_cap: int = 100_000):
             for _ in range(cfg.q - 1):
                 state = em_mod.two_em_steps(state, md, cfg)[0]
 
-        body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
+        body = (em_mod.accel_macro_step if accel
+                else em_mod.plain_macro_step)
 
         def cond(s):
             return jnp.any(~s.stopped & (s.n_iter < cap))

@@ -113,10 +113,12 @@ def init_state(params: Params, cfg: EMConfig) -> EMState:
 # ---------------------------------------------------------------------------
 # model dispatch
 
-def model_em_step(params: Params, md: ModelData, cfg: EMConfig):
+def model_em_step(params: Params, md: ModelData, cfg: EMConfig,
+                  want_ll: bool = True):
     if cfg.admixture:
-        new, ll, scale = admixture.em_step(params, md, cfg)
+        new, ll, scale = admixture.em_step(params, md, cfg, want_ll)
     else:
+        # mixture logL falls out of the E-step's logsumexp for free
         new, ll, scale, _ = mixture.em_step(params, md, cfg)
     return new, ll, scale
 
@@ -209,6 +211,43 @@ def plain_step(state: EMState, md: ModelData, cfg: EMConfig) -> EMState:
     new_params, ll, scale = model_em_step(state.params, md, cfg)
     return _apply_stop(state, new_params, ll, scale, cfg, live,
                        accel=jnp.zeros((), jnp.bool_))
+
+
+def blind_plain_steps(state: EMState, md: ModelData, cfg: EMConfig,
+                      n: int) -> EMState:
+    """``n`` logL-free EM iterations with NO stop() checks in between
+    (check-interval mode, config.Options.check_interval; no reference
+    counterpart - the reference evaluates stop() every iteration,
+    em_alg.c:101-143).
+
+    Safe by EM monotonicity: the logL is non-decreasing over any number of
+    EM steps, so checking only every N-th iteration can stop LATER than
+    per-iteration checking but never prematurely, and converges to the
+    same fixed point.  NaN poisoning is still caught: the next checked
+    step's _apply_stop inspects the parameters themselves.  Stopped vmap
+    lanes stay frozen via the same masked select as plain_step.
+    """
+    live = ~state.stopped
+
+    def body(_, params):
+        new, _, _ = model_em_step(params, md, cfg, want_ll=False)
+        return tree_select(live, new, params)
+
+    params = jax.lax.fori_loop(0, n, body, state.params)
+    return state._replace(
+        params=params,
+        n_iter=state.n_iter + jnp.where(live, n, 0).astype(jnp.int32))
+
+
+def plain_macro_step(state: EMState, md: ModelData,
+                     cfg: EMConfig) -> EMState:
+    """cfg.check_interval plain-EM iterations with ONE stop() evaluation:
+    the first N-1 run the logL-free kernel (the per-cell logs are the
+    dominant VPU cost at small K, BASELINE.md), the last is a full
+    plain_step.  Reduces to plain_step at the default interval of 1."""
+    if cfg.check_interval > 1:
+        state = blind_plain_steps(state, md, cfg, cfg.check_interval - 1)
+    return plain_step(state, md, cfg)
 
 
 # ---------------------------------------------------------------------------

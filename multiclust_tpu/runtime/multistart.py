@@ -64,7 +64,7 @@ def cfg_from_options(opt: Options, K: int,
         monotonicity=opt.resolved_monotonicity(),
         use_pallas="on" if use_pallas else "off",
         has_missing=has_missing, biallelic=biallelic, k_true=k_true,
-        mesh=mesh)
+        check_interval=opt.check_interval, mesh=mesh)
 
 
 def _pad_k(params: Params, cfg: EMConfig,
@@ -246,7 +246,8 @@ def _host_converged(opt: Options, a: float, b: float) -> bool:
 @functools.lru_cache(maxsize=64)
 def _batch_fns(cfg: EMConfig, segment: int):
     accel = cfg.accel_scheme != int(AccelScheme.NONE)
-    body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
+    # plain_macro_step honors cfg.check_interval (1 = exactly plain_step)
+    body = (em_mod.accel_macro_step if accel else em_mod.plain_macro_step)
 
     def constrain(state):
         """Pin the chain-state shardings under a mesh so the segment carry

@@ -45,6 +45,20 @@ def test_parse_args_surface():
     assert sync.adjust_step == 0
 
 
+def test_parse_check_interval():
+    opt = parse_args(["-f", "x.str", "--check-interval", "8"])
+    assert opt.check_interval == 8
+    assert opt.checkpoint_dir is None      # prefix disambiguation intact
+    opt2 = parse_args(["-f", "x.str", "--checkpoint", "ckpt/"])
+    assert opt2.checkpoint_dir == "ckpt/" and opt2.check_interval == 1
+    with pytest.raises(SystemExit):
+        parse_args(["-f", "x", "--check-interval", "0"])
+    # per-iteration trace contract: verbosity > MINIMAL forces interval 1
+    noisy = parse_args(["-f", "x.str", "--check-interval", "8",
+                        "-v", "5"]).synchronize(100, 2)
+    assert noisy.check_interval == 1
+
+
 def test_parse_args_errors():
     with pytest.raises(SystemExit):
         parse_args([])                     # no -f

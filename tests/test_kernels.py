@@ -290,3 +290,97 @@ def test_pallas_em_step_matches_xla(setup):
                                rtol=1e-5, atol=1e-6)
     assert abs(float(df64.df_value(ll_p)) - float(df64.df_value(ll_x))) \
         < 5e-3
+
+
+def test_fullstep_compute_t_off_same_params(setup):
+    """want_ll=False (check-interval mode) must leave the parameter update
+    bit-identical and only zero the logL - for the generic fullstep, the
+    biallelic fullstep, and the XLA path."""
+    ds, md, params = setup
+    from multiclust_tpu.model.common import k_padded_size, pad_params_k
+
+    # XLA path
+    cfg = EMConfig(admixture=True)
+    new_on, ll_on, _ = admixture.em_step(params, md, cfg, want_ll=True)
+    new_off, ll_off, sc = admixture.em_step(params, md, cfg, want_ll=False)
+    np.testing.assert_array_equal(np.asarray(new_off.eta),
+                                  np.asarray(new_on.eta))
+    np.testing.assert_array_equal(np.asarray(new_off.p),
+                                  np.asarray(new_on.p))
+    assert float(df64.df_value(ll_off)) == 0.0 and float(sc) == 0.0
+
+    # generic fullstep kernel (K-padded layout)
+    K = params.K
+    cfg_full = cfg._replace(k_true=K, use_pallas="interpret")
+    pad = pad_params_k(params, k_padded_size(K))
+    f_on, _, _ = admixture.em_step(pad, md, cfg_full, want_ll=True)
+    f_off, ll_f, _ = admixture.em_step(pad, md, cfg_full, want_ll=False)
+    np.testing.assert_array_equal(np.asarray(f_off.eta),
+                                  np.asarray(f_on.eta))
+    np.testing.assert_array_equal(np.asarray(f_off.p), np.asarray(f_on.p))
+    assert float(df64.df_value(ll_f)) == 0.0
+
+
+def test_biallelic_compute_t_off_same_params():
+    from multiclust_tpu.model.common import ModelData, k_padded_size, \
+        pad_params_k
+
+    rng = np.random.default_rng(3)
+    I, L, K = 16, 40, 3
+    x0 = rng.binomial(2, 0.5, size=(I, L))
+    md = ModelData(x=jnp.asarray(np.stack([x0, 2 - x0], axis=2), jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    eta = rng.dirichlet(np.full(K, 2.0), size=I)
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    params = pad_params_k(
+        Params(eta=jnp.asarray(eta, jnp.float32),
+               p=jnp.asarray(np.stack([p0t, 1 - p0t], axis=2), jnp.float32)),
+        k_padded_size(K))
+    cfg = EMConfig(admixture=True, has_missing=False, biallelic=True,
+                   k_true=K, use_pallas="interpret")
+    b_on, _, _ = admixture.em_step(params, md, cfg, want_ll=True)
+    b_off, ll_b, _ = admixture.em_step(params, md, cfg, want_ll=False)
+    np.testing.assert_array_equal(np.asarray(b_off.eta),
+                                  np.asarray(b_on.eta))
+    np.testing.assert_array_equal(np.asarray(b_off.p), np.asarray(b_on.p))
+    assert float(df64.df_value(ll_b)) == 0.0
+
+
+@pytest.mark.parametrize("use_pallas", ["off", "interpret"])
+def test_check_interval_fit_same_optimum(setup, use_pallas):
+    """A check_interval=4 fit reaches the same optimum as per-iteration
+    checking, with n_iter a multiple of the interval and never fewer
+    iterations (interval checking can only stop later)."""
+    from multiclust_tpu.opt.driver import fit
+
+    ds, md, params = setup
+    base = EMConfig(admixture=True, abs_error=1e-2, max_iter=5000,
+                    use_pallas=use_pallas)
+    r1 = fit(params, md, base)
+    r4 = fit(params, md, base._replace(check_interval=4))
+    assert r1.converged and r4.converged, (r1.n_iter, r4.n_iter)
+    assert r4.n_iter % 4 == 0
+    assert r4.n_iter >= r1.n_iter
+    # interval checking is conservative: it can only run LONGER (the
+    # logL diff over 4 iterations must drop below abs_error), so the
+    # interval fit is at least as good, and stays in the same basin
+    assert r4.logL >= r1.logL - 1e-4
+    assert abs(r4.logL - r1.logL) < 10.0
+
+
+def test_check_interval_counts_blind_iters(setup):
+    """blind_plain_steps advances n_iter and freezes stopped lanes."""
+    from multiclust_tpu.opt import em as em_mod
+
+    ds, md, params = setup
+    cfg = EMConfig(admixture=True)
+    state = em_mod.init_state(params, cfg)
+    state = em_mod.blind_plain_steps(state, md, cfg, 3)
+    assert int(state.n_iter) == 3
+    stopped = state._replace(stopped=jnp.ones((), bool))
+    frozen = em_mod.blind_plain_steps(stopped, md, cfg, 3)
+    assert int(frozen.n_iter) == 3  # unchanged
+    np.testing.assert_array_equal(np.asarray(frozen.params.eta),
+                                  np.asarray(stopped.params.eta))

@@ -404,24 +404,33 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
     return etan, t_out[:, 0], p0n
 
 
-# (ti, tl, max Lp*Kp bytes) ladder for the biallelic kernel: VMEM holds
-# p0 + p0n + B0 + B1 (4 x Kp*Lp*4 bytes) plus the i-tiles.
+# (ti, tl, max PER-COPY resident bytes Kp*Lp*4) ladder for the biallelic
+# kernel.  The kernel keeps FOUR [Kp, Lp] f32 arrays resident in VMEM
+# (p0 input, p0n output, B0/B1 scratch) on top of the per-tile elementwise
+# temporaries, against the compiler's 16 MB scoped-vmem stack - so the
+# admissible Lp SHRINKS as the tile grows.  Budgets are TPU-verified
+# (v5e, compute_t=True, Kp=32, scripts in round-2 logs):
+#   (512,1024): fits at 512K/copy (Lp<=4096); OOMs at 2M/copy (20.9 MB)
+#   (512, 512): fits at 1M/copy (Lp<=8192); OOMs at 2M/copy
+#   (256, 512): fits at 2M/copy (Lp<=16384) - the biobank config, where
+#               it runs 117 Gcells/s vs 80 for the two-pass fallback
+#   (128, 512): OOMs at 3M/copy -> 2M is the ladder-wide ceiling
+# Beyond 2M/copy nothing tiles and callers fall back to the two-pass
+# sweep kernels.  Speed at the bench shape (I=16k, L=2k, Kp=32):
+# (512,1024) 184.6, (512,512) 179.0 Gcells/s; (1024,1024) blows the
+# stack (17.4 M) even there.
 _FULLSTEP_BI_TILES = (
-    # measured on the bench shape (I=16k, L=2k, Kp=32): (512,1024) 184.6,
-    # (512,512) 179.0 Gcells/s; (1024,1024) blows the 16 MB scoped-vmem
-    # stack (17.4 M) - double-buffered x0/x1 tiles + resident
-    # p0/p0n/B0/B1 don't fit
-    (512, 1024, 3 * 1024 * 1024),
-    (512, 512, 3 * 1024 * 1024),
-    (256, 512, 3 * 1024 * 1024),
-    (128, 512, 3 * 1024 * 1024),
-    (64, 512, 3 * 1024 * 1024),
-    (1024, 256, 3 * 1024 * 1024),
-    (512, 256, 3 * 1024 * 1024),
-    (256, 256, 3 * 1024 * 1024),
-    (128, 256, 3 * 1024 * 1024),
-    (64, 256, 3 * 1024 * 1024),
-    (64, 128, 3 * 1024 * 1024),
+    (512, 1024, 512 * 1024),
+    (512, 512, 1024 * 1024),
+    (256, 512, 2 * 1024 * 1024),
+    (128, 512, 2 * 1024 * 1024),
+    (64, 512, 2 * 1024 * 1024),
+    (1024, 256, 512 * 1024),
+    (512, 256, 1024 * 1024),
+    (256, 256, 2 * 1024 * 1024),
+    (128, 256, 2 * 1024 * 1024),
+    (64, 256, 2 * 1024 * 1024),
+    (64, 128, 2 * 1024 * 1024),
 )
 
 

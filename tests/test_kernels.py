@@ -384,3 +384,28 @@ def test_check_interval_counts_blind_iters(setup):
     assert int(frozen.n_iter) == 3  # unchanged
     np.testing.assert_array_equal(np.asarray(frozen.params.eta),
                                   np.asarray(stopped.params.eta))
+
+
+def test_check_interval_production_engine(setup):
+    """The PRODUCTION multi-start engine honors --check-interval: same
+    starts (identical keys), same best basin, at least as good an optimum
+    (interval chains check later, never earlier)."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    ds, md, _ = setup
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, ds.ploidy))
+    base = dict(admixture=True, n_init=3, batch_chains=3, min_K=3,
+                max_K=3, n_rand_em_init=4, abs_error=1e-2, max_iter=3000)
+    ref = maximize_likelihood(
+        jax.random.PRNGKey(7), md, 3,
+        Options(**base).synchronize(ds.I, ds.ploidy),
+        n_parameters=40, codes=codes)
+    out = maximize_likelihood(
+        jax.random.PRNGKey(7), md, 3,
+        Options(**base, check_interval=4).synchronize(ds.I, ds.ploidy),
+        n_parameters=40, codes=codes)
+    assert out.ever_converged
+    assert out.max_logL >= ref.max_logL - 1e-3
+    assert abs(out.max_logL - ref.max_logL) < 10.0

@@ -420,6 +420,11 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
 # (512,1024) 184.6, (512,512) 179.0 Gcells/s; (1024,1024) blows the
 # stack (17.4 M) even there.
 _FULLSTEP_BI_TILES = (
+    # (256,2048) measured fastest at the 16k x 2k bench shape (157 vs
+    # 148.8 raw-kernel for (512,1024), +5.5%); TPU-verified to 1M/copy
+    # but capped at 512K so Lp > 4096 keeps the layouts verified fast at
+    # scale ((256,512) at the biobank shape)
+    (256, 2048, 512 * 1024),
     (512, 1024, 512 * 1024),
     (512, 512, 1024 * 1024),
     (256, 512, 2 * 1024 * 1024),

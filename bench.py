@@ -200,8 +200,10 @@ def main():
         ours = our_throughput(I=2048, L=512, steps=10, repeats=2)
     elif size == "large":
         # biobank-scale single-chip config (BASELINE.md config 5): 65k
-        # individuals x 16k SNPs; LM = 32k forces the two-pass sweep
-        # kernels (B accumulator exceeds FUSED_B_VMEM_LIMIT).  int8
+        # individuals x 16k SNPs.  Since the VMEM-budget fix this runs the
+        # (256,512)-tiled biallelic fullstep (206.7 Gcells/s); set
+        # BENCH_BIALLELIC=0 to force the generic path and measure the
+        # two-pass sweep kernels (B streamed to HBM) instead.  int8
         # genotypes are 2 GB unpadded but XLA lays [I, L, 2] out at 2x
         # (M padded to the 4-sublane tile) and the one-time x_flat
         # relayout keeps a second copy live, so budget ~6 GB for x

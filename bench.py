@@ -48,17 +48,21 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     biallelic = M == 2 and os.environ.get("BENCH_BIALLELIC", "1") == "1"
+    # BENCH_MISSING=rate (e.g. 0.02) benchmarks the missing-data fast path:
+    # the biallelic kernel streams miss per tile and folds C = eta^T @ miss
+    # into the B matmuls in-kernel (em_alg.c:400-431)
+    miss_rate = float(os.environ.get("BENCH_MISSING", "0"))
     # mirror the engine's device policy (config.Options.device_policy):
-    # Pallas path stores genotype counts int8; no missing data here, so the
-    # miss reductions are statically skipped exactly as in a real fit
+    # Pallas path stores genotype counts int8
     cfg = EMConfig(admixture=True,
                    use_pallas="on" if use_pallas else "off",
-                   has_missing=False, biallelic=biallelic,
+                   has_missing=miss_rate > 0, biallelic=biallelic,
                    k_true=K if use_pallas else 0)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     ploidy = 2
     storage = jnp.int8 if use_pallas else jnp.float32
+    miss = None
     if M == 2:
         # biobank-capable generation: chunk the bernoulli draws over rows
         # so the f32 uniforms never exceed ~2 GB (a one_hot over [I, L, P]
@@ -66,14 +70,29 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
         # large config - and OOMs 16 GB HBM before the fit even starts)
         rows = max(1, min(I, (1 << 29) // max(L, 1)))
         chunks = []
+        miss_chunks = []
         kk = k1
         for i0 in range(0, I, rows):
             kk, sub = jax.random.split(kk)
             n = min(rows, I - i0)
             u = jax.random.uniform(sub, (ploidy, n, L))
-            chunks.append(jnp.sum(u < 0.5, axis=0).astype(jnp.int8))
+            if miss_rate > 0:
+                kk, sub2 = jax.random.split(kk)
+                um = jax.random.uniform(sub2, (ploidy, n, L))
+                mc = jnp.sum(um < miss_rate, axis=0).astype(jnp.int8)
+                miss_chunks.append(mc)
+                chunks.append(
+                    jnp.minimum(jnp.sum(u < 0.5, axis=0),
+                                ploidy - mc).astype(jnp.int8))
+            else:
+                chunks.append(jnp.sum(u < 0.5, axis=0).astype(jnp.int8))
         x0 = jnp.concatenate(chunks, axis=0)
-        counts = jnp.stack([x0, ploidy - x0], axis=-1).astype(storage)
+        if miss_rate > 0:
+            miss = jnp.concatenate(miss_chunks, axis=0)
+            counts = jnp.stack([x0, ploidy - miss - x0],
+                               axis=-1).astype(storage)
+        else:
+            counts = jnp.stack([x0, ploidy - x0], axis=-1).astype(storage)
         del x0, chunks
     else:
         draws = jax.random.randint(k1, (I, L, ploidy), 0, M)
@@ -82,10 +101,13 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
             counts = counts + jax.nn.one_hot(draws[:, :, a], M,
                                              dtype=jnp.float32)
         counts = counts.astype(storage)
-    # miss is statically unused (has_missing=False); int8 zeros keep the
-    # large config inside HBM (an f32 [65k, 33k] miss alone is 8.6 GB)
+    # without BENCH_MISSING miss is statically unused (has_missing=False);
+    # int8 zeros keep the large config inside HBM (an f32 [65k, 33k] miss
+    # alone is 8.6 GB).  With missing, miss carries the compute dtype per
+    # the ModelData contract (the int8 kernel stream is the miss_st alias).
     md = ModelData(x=counts,
-                   miss=jnp.zeros((I, L), jnp.int8),
+                   miss=(miss.astype(jnp.float32) if miss is not None
+                         else jnp.zeros((I, L), jnp.int8)),
                    mask=jnp.ones((L, M), bool),
                    n_alleles=jnp.full((L,), M, jnp.int32))
     eta = jax.random.dirichlet(k2, jnp.full((K,), 2.0), (I,))
@@ -99,10 +121,14 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
         params = _pad_k(params, cfg, md)
         params = _to_bi_repr(params, cfg, I, L)
 
-    # BENCH_INTERVAL=N > 1 measures the production --check-interval path:
-    # N-1 logL-free iterations (want_ll=False skips the per-cell logs, the
-    # dominant VPU cost at small K) per full stop()-checked step
-    interval = max(1, int(os.environ.get("BENCH_INTERVAL", "1")))
+    # BENCH_INTERVAL measures the --check-interval path: N-1 logL-free
+    # iterations (want_ll=False skips the per-cell logs, the dominant VPU
+    # cost at small K) per full stop()-checked step.  The production
+    # default is ADAPTIVE (config.Options.check_interval=0), which sits at
+    # the escalation cap for the bulk of any non-trivial fit - so the
+    # bench default mirrors that steady state (opt/em.ADAPTIVE_CAP = 16);
+    # BENCH_INTERVAL=1 measures reference per-iteration semantics.
+    interval = max(1, int(os.environ.get("BENCH_INTERVAL", "16")))
     n_macro = max(1, steps // interval)
     steps = n_macro * interval
 
@@ -208,6 +234,13 @@ def main():
         # (M padded to the 4-sublane tile) and the one-time x_flat
         # relayout keeps a second copy live, so budget ~6 GB for x
         ours = our_throughput(I=65536, L=16384, M=2, K=20, steps=20,
+                              repeats=2)
+    elif size == "xl":
+        # biobank-L single-chip config: Lp far beyond the resident-B
+        # ceiling (16384 at Kp=32), so the STREAMED biallelic two-pass
+        # kernels run (ops/kernels.admixture_fullstep_biallelic_streamed);
+        # I scaled down to keep the int8 genotype tensors inside HBM
+        ours = our_throughput(I=8192, L=131072, M=2, K=20, steps=20,
                               repeats=2)
     else:
         ours = our_throughput()

@@ -63,8 +63,8 @@ def parse_args(argv: List[str]) -> Options:
                 # --check-interval N (TPU extension): evaluate convergence
                 # only every N-th plain-EM iteration (config.Options)
                 opt.check_interval = int(_need(argv, i, arg)); i += 1
-                if opt.check_interval < 1:
-                    raise UsageError("--check-interval must be >= 1")
+                if opt.check_interval < 0:
+                    raise UsageError("--check-interval must be >= 0")
             elif name.startswith("ch"):
                 opt.checkpoint_dir = _need(argv, i, arg); i += 1
             else:
@@ -344,8 +344,10 @@ TPU-NATIVE OPTIONS (no reference counterpart)
 \t\tEvaluate convergence only every n-th plain-EM iteration; the
 \t\titerations in between skip the log-likelihood entirely (faster
 \t\tat small K).  Never stops prematurely (EM is monotone); the
-\t\titeration cap gains granularity n.  Ignored under -s and at
-\t\tverbosity > 3.  Default 1 (reference semantics).
+\t\titeration cap gains granularity n.  0 (default) adapts the
+\t\tinterval from the measured logL deltas (1..16); 1 restores
+\t\treference per-iteration semantics.  Forced to 1 under -s and
+\t\tat verbosity > 3.
 \t--platform <cpu|tpu>
 \t\tForce the JAX backend (cpu implies float64 semantics).
 """)

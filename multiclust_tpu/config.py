@@ -171,10 +171,16 @@ class Options:
     # a logL-free kernel.  DEVIATION from the reference, which checks every
     # iteration - but EM is monotone over any number of steps, so interval
     # checking can only stop LATER (never prematurely) and converges to the
-    # same optimum; the iteration cap (-T) gains granularity N.  Ignored
-    # under acceleration (-s: the guarded accept needs logL every macro
-    # step) and at verbosity > MINIMAL (the per-iteration trace contract).
-    check_interval: int = 1
+    # same optimum; the iteration cap (-T) gains granularity N.
+    # 0 (the default) = ADAPTIVE: the engine escalates the interval
+    # (1 -> 2 -> ... -> 16) while the per-iteration logL delta is far
+    # above tolerance and resets to 1 near convergence
+    # (opt/em.plain_macro_step), so the stop iteration matches
+    # per-iteration checking while the bulk of the fit skips the logL.
+    # Forced to 1 under acceleration (-s: the guarded accept needs logL
+    # every macro step) and at verbosity > MINIMAL (the per-iteration
+    # trace contract) - see synchronize.
+    check_interval: int = 0
     monotonicity: str = "auto"        # "fatal" (reference, em_alg.c:115-120),
                                       # "warn", "off", or "auto": fatal on
                                       # float64 (reference semantics are
@@ -209,10 +215,15 @@ class Options:
         if (not out.target_ll and not out.target_revisit
                 and not out.n_seconds and not out.n_init):
             out.n_init = 1
-        out.check_interval = max(1, out.check_interval)
+        out.check_interval = max(0, out.check_interval)
         if out.verbosity > 3:
             # per-iteration trace contract (em_alg.c:123-136) requires a
             # logL at every step
+            out.check_interval = 1
+        if out.accel_scheme != AccelScheme.NONE:
+            # the guarded accept evaluates logL every macro step anyway;
+            # pin the interval so the stale value cannot leak into a
+            # future accelerated path (advisor round-2 finding)
             out.check_interval = 1
         if out.min_K > out.max_K:
             raise ValueError(

@@ -218,9 +218,26 @@ def rand_em_initialize(key, md: ModelData, K: int, cfg: EMConfig,
     n = n_rand_em_init if K > 1 else 1
     c = chunk or rand_em_chunk(md_score, n)
 
+    def score_shape(params: Params) -> Params:
+        """Pad a candidate to md_score's (possibly mesh-padded) shape:
+        pad rows carry uniform eta, pad loci zero p - both contribute
+        zero logL (zero counts / masked loci), so the candidate ranking
+        is unchanged."""
+        dI = md_score.I - md.I
+        if dI > 0 and params.eta.ndim == 2:
+            pad = jnp.full((dI, K), 1.0 / K, params.eta.dtype)
+            params = params._replace(
+                eta=jnp.concatenate([params.eta, pad], axis=0))
+        dL = md_score.L - md.L
+        if dL > 0:
+            params = params._replace(
+                p=jnp.pad(params.p, ((0, 0), (0, dL), (0, 0))))
+        return params
+
     def one(k):
         params = random_initialize(k, md, K, cfg, method, codes)
-        stepped, _, _ = model_em_step(params, md_score, cfg)
+        scored = score_shape(params)
+        stepped, _, _ = model_em_step(scored, md_score, cfg)
         ll, _ = model_log_likelihood(stepped, md_score, cfg)
         return params, ll[0] + ll[1]
 

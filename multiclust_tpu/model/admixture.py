@@ -107,26 +107,123 @@ def _bi_inputs(md: ModelData):
     return md.x[:, :, 0], md.x[:, :, 1]
 
 
-def _em_step_bi_repr(params, md, cfg, want_ll=True):
-    """Biallelic full step on the p0-representation: params.p IS p0
-    [Kp, Lp] (kernel tile layout, pads zero), so NO per-iteration [K, L, 2]
-    relayout happens - one pallas_call per EM iteration, everything else is
-    the [I] logL reduction."""
-    from multiclust_tpu.ops.kernels import admixture_fullstep_biallelic, \
-        pick_layout_biallelic
+def _bi_miss_inputs(md, cfg, Lp: int, dtype):
+    """(c [I,1], miss [I,Lp] or None) for the biallelic kernel.  The miss
+    stream uses the storage-dtype alias (ModelData.prepare_for_em) so HBM
+    sees 1 byte/cell; pads (loop-invariant, hoisted) are zero = inert."""
+    if not cfg.has_missing:
+        return jnp.zeros((md.I, 1), dtype), None
+    c = jnp.sum(md.miss, axis=1, keepdims=True).astype(dtype)
+    miss = md.miss_st if md.miss_st is not None else md.miss
+    dL = Lp - md.L
+    if dL:
+        miss = jnp.pad(miss, ((0, 0), (0, dL)))
+    return c, miss
+
+
+def _p0_clip_bounds(plb: float):
+    """(lb, ub) for the closed-form 2-simplex projection of p0: the upper
+    bound stays strictly below 1 in f32 (see _fullstep_bi_kernel)."""
+    ub = float(np.float32(1.0)
+               - np.float32(max(plb, float(np.finfo(np.float32).eps))))
+    return float(plb), ub
+
+
+def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
+    """Biallelic p0-representation full step under a data-axis mesh: each
+    shard runs the fused kernel on its I rows with ``emit_b=True`` (the
+    in-kernel eta update is per-individual, hence shard-local), the B0/B1
+    accumulators psum across data shards, and the p update (normalization
+    + closed-form 2-simplex projection) runs replicated on the merged
+    statistics - the same split as _sharded_fullstep, restricted to
+    model_shards == 1 (loci unsharded: p0 is [Kp, Lp] everywhere)."""
+    from jax.sharding import PartitionSpec as P
+
+    from multiclust_tpu.ops.kernels import \
+        admixture_fullstep_biallelic, \
+        admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
+    from multiclust_tpu.runtime.mesh import DATA_AXIS
 
     eta, p0 = params.eta, params.p
     Kp = eta.shape[-1]
-    ti, tl, Lp = pick_layout_biallelic(md.I, Kp, md.L)
+    dd = cfg.data_shards
+    assert md.I % dd == 0, (md.I, dd)
+    ti, tl, Lp, mode = pick_layout_biallelic_any(md.I // dd, Kp, md.L)
+    assert ti and p0.shape[-1] == Lp, (md.I, dd, Kp, md.L, p0.shape)
+    fn = (admixture_fullstep_biallelic if mode == "resident"
+          else admixture_fullstep_biallelic_streamed)
+    x0, x1 = _bi_inputs(md)
+    dL = Lp - md.L
+    if dL:
+        x0 = jnp.pad(x0, ((0, 0), (0, dL)))
+        x1 = jnp.pad(x1, ((0, 0), (0, dL)))
+    c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
+    interpret = cfg.use_pallas == "interpret"
+    lb = float(cfg.eta_lower_bound)
+    plb, pub = _p0_clip_bounds(cfg.p_lower_bound)
+
+    def local(eta_l, p0_g, x0_l, x1_l, c_l, *m):
+        etan, per_i, b0, b1 = fn(
+            eta_l, p0_g, x0_l, x1_l, c_l, m[0] if m else None,
+            ti=ti, tl=tl, k_true=cfg.k_true, lb=lb, plb=plb,
+            project=cfg.do_projection, compute_t=want_ll, emit_b=True,
+            interpret=interpret)
+        b0 = jax.lax.psum(b0, DATA_AXIS)
+        b1 = jax.lax.psum(b1, DATA_AXIS)
+        pc0 = p0_g * b0
+        pc1 = (1.0 - p0_g) * b1
+        tot = pc0 + pc1
+        q0 = jnp.where(tot > 0, pc0 / jnp.where(tot > 0, tot, 1.0), 0.0)
+        if cfg.do_projection:
+            q0 = jnp.where(tot > 0, jnp.clip(q0, plb, pub), 0.0)
+        return etan, per_i, q0
+
+    in_specs = [P(DATA_AXIS, None), P(None, None), P(DATA_AXIS, None),
+                P(DATA_AXIS, None), P(DATA_AXIS, None)]
+    args = [eta, p0, x0, x1, c]
+    if miss is not None:
+        in_specs.append(P(DATA_AXIS, None))
+        args.append(miss)
+    eta_new, per_i, p0n = jax.shard_map(
+        local, mesh=cfg.mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)),
+        check_vma=False)(*args)
+    if not want_ll:
+        z = jnp.zeros((), eta.dtype)
+        return Params(eta=eta_new, p=p0n), (z, z), z
+    ll = df64.df_sum(per_i)
+    scale = jnp.sqrt(jnp.sum(per_i * per_i))
+    return Params(eta=eta_new, p=p0n), ll, scale
+
+
+def _em_step_bi_repr(params, md, cfg, want_ll=True):
+    """Biallelic full step on the p0-representation: params.p IS p0
+    [Kp, Lp] (kernel tile layout, pads zero), so NO per-iteration [K, L, 2]
+    relayout happens - one pallas_call per EM iteration (two for the
+    streamed biobank-L variant), everything else is the [I] logL
+    reduction."""
+    from multiclust_tpu.ops.kernels import \
+        admixture_fullstep_biallelic, \
+        admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
+
+    if cfg.mesh is not None and cfg.data_shards > 1:
+        return _em_step_bi_repr_meshed(params, md, cfg, want_ll)
+
+    eta, p0 = params.eta, params.p
+    Kp = eta.shape[-1]
+    ti, tl, Lp, mode = pick_layout_biallelic_any(md.I, Kp, md.L)
     assert ti and p0.shape[-1] == Lp, (md.I, Kp, md.L, p0.shape)
     x0, x1 = _bi_inputs(md)
     dL = Lp - md.L
     if dL:
         x0 = jnp.pad(x0, ((0, 0), (0, dL)))
         x1 = jnp.pad(x1, ((0, 0), (0, dL)))
-    c = jnp.zeros((md.I, 1), eta.dtype)
-    eta_new, per_i, p0n = admixture_fullstep_biallelic(
-        eta, p0, x0, x1, c, ti=ti, tl=tl, k_true=cfg.k_true,
+    c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
+    fn = (admixture_fullstep_biallelic if mode == "resident"
+          else admixture_fullstep_biallelic_streamed)
+    eta_new, per_i, p0n = fn(
+        eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
         project=cfg.do_projection, compute_t=want_ll,
         interpret=cfg.use_pallas == "interpret")
@@ -302,7 +399,7 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
     x2 = md.x_storage_2d
     interpret = cfg.use_pallas == "interpret"
 
-    padded = cfg.k_true and K % 128 == 0 and eta.shape[-1] == K
+    padded = cfg.k_true and K % 32 == 0 and eta.shape[-1] == K
 
     if cfg.mesh is not None and (cfg.data_shards > 1
                                  or cfg.model_shards > 1):
@@ -377,12 +474,13 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
     cluster whose eta column is exactly zero gets p = (0, 1) here vs the
     XLA epilogue's (0, 0)-then-unprojected row; with projection on (the
     default) eta >= lb makes the case unreachable."""
-    from multiclust_tpu.ops.kernels import admixture_fullstep_biallelic, \
-        pick_layout_biallelic
+    from multiclust_tpu.ops.kernels import \
+        admixture_fullstep_biallelic, \
+        admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
 
     eta, p = params.eta, params.p
     K = params.K                                  # = Kp (K-padded layout)
-    ti, tl, Lp = pick_layout_biallelic(md.I, K, md.L)
+    ti, tl, Lp, mode = pick_layout_biallelic_any(md.I, K, md.L)
     if not ti:
         return None
     dL = Lp - md.L
@@ -393,9 +491,11 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
         p0 = jnp.pad(p0, ((0, 0), (0, dL)))
         x0 = jnp.pad(x0, ((0, 0), (0, dL)))
         x1 = jnp.pad(x1, ((0, 0), (0, dL)))
-    c = jnp.zeros((md.I, 1), eta.dtype)
-    eta_new, per_i, p0n = admixture_fullstep_biallelic(
-        eta, p0, x0, x1, c, ti=ti, tl=tl, k_true=cfg.k_true,
+    c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
+    fn = (admixture_fullstep_biallelic if mode == "resident"
+          else admixture_fullstep_biallelic_streamed)
+    eta_new, per_i, p0n = fn(
+        eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
         project=cfg.do_projection, compute_t=want_ll, interpret=interpret)
     p0n = p0n[:, :md.L]

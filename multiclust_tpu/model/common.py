@@ -57,6 +57,12 @@ class ModelData(NamedTuple):
     # shape); tuple leaves cost zero ops in the loop.  Same derived-data
     # contract as x_flat.
     x_bi: Optional[tuple] = None
+    # optional [I, L] alias of miss in the STORAGE dtype (int8 when x is):
+    # the biallelic kernel streams miss per tile for the in-kernel
+    # missing-mass p-update term; casting once here keeps HBM traffic at
+    # 1 byte/cell instead of 4 (counts never exceed ploidy, so the cast is
+    # exact).  Same derived-data contract as x_flat.
+    miss_st: Optional[Array] = None
 
     @property
     def I(self) -> int:  # noqa: E743
@@ -99,14 +105,19 @@ class ModelData(NamedTuple):
         return self.x.reshape(self.I, self.L * self.M)
 
     def prepare_for_em(self, bi: bool = False) -> "ModelData":
-        """Populate ``x_flat`` (and ``x_bi`` when the biallelic kernel will
-        run) - call once per jitted segment, BEFORE the EM while-loop, so
-        the flatten/relayout happens once, not per iteration."""
+        """Populate ``x_flat`` (and ``x_bi``/``miss_st`` when the biallelic
+        kernel will run) - call once per jitted segment, BEFORE the EM
+        while-loop, so the flatten/relayout/cast happens once, not per
+        iteration."""
         x_bi = self.x_bi
+        miss_st = self.miss_st
         if bi and x_bi is None and self.M == 2:
             x_bi = (self.x[:, :, 0], self.x[:, :, 1])
+        if bi and miss_st is None:
+            miss_st = self.miss.astype(self.x.dtype)
         return self._replace(
-            x_flat=self.x.reshape(self.I, self.L * self.M), x_bi=x_bi)
+            x_flat=self.x.reshape(self.I, self.L * self.M), x_bi=x_bi,
+            miss_st=miss_st)
 
 
 class EMConfig(NamedTuple):
@@ -147,7 +158,8 @@ class EMConfig(NamedTuple):
     k_true: int = 0
     # Evaluate logL/convergence only every N-th plain-EM iteration; the
     # N-1 steps between checks skip the logL accumulation entirely
-    # (config.Options.check_interval has the semantics discussion).  Only
+    # (config.Options.check_interval has the semantics discussion).
+    # 0 = adaptive (the blind-run length lives in EMState.interval).  Only
     # consulted by the plain-EM drivers (opt/em.plain_macro_step).
     check_interval: int = 1
     # Device mesh for multi-chip fits (None = single device).  A
@@ -180,11 +192,16 @@ class EMConfig(NamedTuple):
         relayout glue around the biallelic kernel - the EM/acceleration
         machinery is pytree-shape-agnostic, so only the model functions
         branch on it.  Affine parameter combinations (SQUAREM/QN points)
-        preserve the complement structure exactly."""
+        preserve the complement structure exactly.  Missing data is
+        handled in-kernel (the miss stream + c totals, em_alg.c:400-431),
+        so it does not gate the representation; a data-axis mesh runs the
+        kernels per shard with psum-merged B (model/admixture.py
+        _em_step_bi_repr_meshed) - only loci sharding (model_shards > 1)
+        falls back to the generic sharded sweep."""
         return (self.use_pallas != "off" and self.admixture
                 and not self.eta_constrained and self.biallelic
-                and not self.has_missing and bool(self.k_true)
-                and self.mesh is None)
+                and bool(self.k_true)
+                and (self.mesh is None or self.model_shards == 1))
 
 
 def is_bi_repr(params: "Params") -> bool:
@@ -223,7 +240,7 @@ def collapse_for_constrained(md: ModelData) -> ModelData:
         x=jnp.sum(md.x.astype(md.miss.dtype), axis=0, keepdims=True),
         miss=jnp.sum(md.miss, axis=0, keepdims=True),
         row_valid=None,
-        x_flat=None,
+        x_flat=None, x_bi=None, miss_st=None,
     )
 
 

@@ -23,7 +23,10 @@ Fallback - two kernels, each streaming x once:
 
 Accumulator outputs are revisited only along the LAST grid dimension
 (consecutive visits), which is the Pallas TPU requirement for in-place
-block accumulation.  K is padded to a multiple of 128 lanes by the caller;
+block accumulation.  K is padded to a multiple of 32 lanes by the caller
+(the MXU is output-area bound, not contraction bound, at K <= 128 - see
+BASELINE.md small-K analysis - so 32-lane padding shrinks the A/B
+accumulator outputs and their VMEM residency at zero matmul-time cost);
 zero-padded clusters contribute nothing.  This realizes the reference's own
 "combined E+M" analysis (em_alg.c:435-483: never materialize d_iklm) at
 tile granularity.
@@ -80,6 +83,12 @@ _FULLSTEP_TILES = (
     (16, 512, FUSED_B_VMEM_LIMIT),
     (8, 512, FUSED_B_VMEM_LIMIT),
 )
+
+
+# K-lane granularities the generic fullstep/sweep kernels are
+# compile-verified at on real TPU (scripts/tpu_compile_sweep.py); the
+# production layout is k_padded_size(K, 32)
+GENERIC_K_LANES = (32, 128)
 
 
 def pick_tiles(I: int, Kp: int, LMp: int):
@@ -213,7 +222,7 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
     """
     I, Kp = eta.shape
     LMp = p2.shape[1]
-    assert I % ti == 0 and LMp % tl == 0 and Kp % 128 == 0, (I, ti, LMp, tl)
+    assert I % ti == 0 and LMp % tl == 0 and Kp % 32 == 0, (I, ti, LMp, tl)
     assert fused_fits(Kp, LMp), (Kp, LMp)
     n_i, n_l = I // ti, LMp // tl
     f32 = jnp.float32
@@ -252,13 +261,24 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
     return etan, t_out[:, 0], b_out
 
 
-def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
-                        etan_ref, t_ref, p0n_ref,
-                        a_scr, r_scr, b0_scr, b1_scr, *,
+def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
                         tl: int, n_i: int, n_l: int, k_true: int,
                         lb: float, plb: float, project: bool,
-                        compute_t: bool):
+                        compute_t: bool, with_miss: bool, emit_b: bool):
     """Biallelic full EM step: see ``admixture_fullstep_biallelic``."""
+    rest = list(rest)
+    miss_ref = rest.pop(0) if with_miss else None
+    etan_ref = rest.pop(0)
+    t_ref = rest.pop(0)
+    if emit_b:
+        # b0/b1 are constant-index-map OUTPUTS (VMEM resident for the
+        # whole grid, like the generic fullstep's B): the caller merges
+        # them across data shards before the p update (mesh path)
+        p0n_ref = None
+        b0_scr, b1_scr, a_scr, r_scr = rest
+    else:
+        p0n_ref = rest.pop(0)
+        a_scr, r_scr, b0_scr, b1_scr = rest
     i_idx = pl.program_id(0)
     l_idx = pl.program_id(1)
 
@@ -293,6 +313,13 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
     # A_ik = sum_l [w0 p0 + w1 (1 - p0)]_k = (w0 - w1) @ p0^T + sum_l w1
     a_scr[:] += jnp.dot(w0 - w1, p0.T, preferred_element_type=jnp.float32)
     r_scr[:] += jnp.sum(w1, axis=1, keepdims=True)
+    if with_miss:
+        # missing-mass p-update term (em_alg.c:727-746): B_klm += C_kl with
+        # C = eta^T @ miss, for BOTH alleles - folded into the B matmuls as
+        # eta^T @ (w + miss), costing zero extra MXU passes
+        mi = miss_ref[:].astype(jnp.float32)
+        w0 = w0 + mi
+        w1 = w1 + mi
     b0_scr[:, pl.ds(col, tl)] += jnp.dot(
         eta.T, w0, preferred_element_type=jnp.float32)
     b1_scr[:, pl.ds(col, tl)] += jnp.dot(
@@ -311,31 +338,36 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
 
     # B complete at the very last grid step: the whole p update (M-step
     # normalization + biallelic closed-form projection) happens on-chip
-    @pl.when(jnp.logical_and(i_idx == n_i - 1, l_idx == n_l - 1))
-    def _():
-        p0f = p0_ref[:]
-        pc0 = p0f * b0_scr[:]
-        pc1 = (1.0 - p0f) * b1_scr[:]
-        tot = pc0 + pc1
-        q0 = jnp.where(tot > 0, pc0 * _recip(jnp.where(tot > 0, tot, 1.0)),
-                       0.0)
-        if project:
-            # upper bound must stay strictly below 1 in f32: with the
-            # reference's 1e-8 bound, 1-plb rounds to exactly 1.0 and the
-            # implicit complement 1-q0 would become an exact zero
-            # probability (ops/simplex.project_rows has the full story);
-            # clamp against the largest representable 1-max(plb, ulp)
-            ub = float(np.float32(1.0)
-                       - np.float32(max(plb, float(np.finfo(np.float32).eps))))
-            q0 = jnp.where(tot > 0, jnp.clip(q0, plb, ub), 0.0)
-        p0n_ref[:] = q0
+    if not emit_b:
+        @pl.when(jnp.logical_and(i_idx == n_i - 1, l_idx == n_l - 1))
+        def _():
+            p0f = p0_ref[:]
+            pc0 = p0f * b0_scr[:]
+            pc1 = (1.0 - p0f) * b1_scr[:]
+            tot = pc0 + pc1
+            q0 = jnp.where(tot > 0,
+                           pc0 * _recip(jnp.where(tot > 0, tot, 1.0)), 0.0)
+            if project:
+                # upper bound must stay strictly below 1 in f32: with the
+                # reference's 1e-8 bound, 1-plb rounds to exactly 1.0 and
+                # the implicit complement 1-q0 would become an exact zero
+                # probability (ops/simplex.project_rows has the full
+                # story); clamp against the largest representable
+                # 1-max(plb, ulp)
+                ub = float(
+                    np.float32(1.0)
+                    - np.float32(max(plb, float(np.finfo(np.float32).eps))))
+                q0 = jnp.where(tot > 0, jnp.clip(q0, plb, ub), 0.0)
+            p0n_ref[:] = q0
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "interpret"))
-def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
-                                 k_true: int, lb: float, plb: float,
+    "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
+    "interpret"))
+def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
+                                 tl: int, k_true: int, lb: float, plb: float,
                                  project: bool, compute_t: bool = True,
+                                 emit_b: bool = False,
                                  interpret: bool = False):
     """Fully fused biallelic (M=2, every locus 2 valid alleles) EM step.
 
@@ -345,16 +377,22 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
     (normalization + the closed-form 2-simplex projection,
     ops/simplex.project_rows M=2 branch) runs on-chip at the last grid
     step - B never touches HBM and the XLA epilogue disappears.
-    Covers the no-missing-data case (cfg.has_missing=False); missing data
-    falls back to ``admixture_fullstep``.  Math: m_step_admixture_orig,
-    em_alg.c:592-754 restricted to M=2.
+    Math: m_step_admixture_orig, em_alg.c:592-754 restricted to M=2.
+
+    Missing data is handled IN-KERNEL (em_alg.c:400-431): pass ``miss``
+    [I, Lp] per-(i,l) missing-copy counts (any count dtype; padded cols
+    zero) plus the real per-individual totals in ``c``; the p-update term
+    C = eta^T @ miss folds into the B matmuls as eta^T @ (w + miss).
 
     Args: eta [I, Kp] (K-padded, pads zero), p0 [Kp, Lp] allele-0
     frequencies (pad rows/cols zero), x0/x1 [I, Lp] allele counts (any
     int dtype, pad cols zero), c [I, 1] per-individual missing totals
-    (zeros here; kept for signature parity).
+    (zeros for missing-free data), miss [I, Lp] or None.
     Returns: (eta_new [I, Kp] aliased onto eta, t [I] logL terms,
-    p0_new [Kp, Lp] aliased onto p0).
+    p0_new [Kp, Lp] aliased onto p0).  With ``emit_b=True`` (mesh path)
+    the in-kernel p update is skipped and the raw accumulators are
+    returned instead: (eta_new, t, B0 [Kp, Lp], B1 [Kp, Lp]) - the caller
+    psums B across data shards and runs the p epilogue itself.
     """
     I, Kp = eta.shape
     Lp = p0.shape[1]
@@ -363,44 +401,69 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, *, ti: int, tl: int,
     assert I % ti == 0 and Lp % tl == 0 and Kp % 32 == 0, (I, ti, Lp, tl)
     n_i, n_l = I // ti, Lp // tl
     f32 = jnp.float32
+    with_miss = miss is not None
 
-    etan, t_out, p0n = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [eta, p0, x0, x1, c]
+    if with_miss:
+        in_specs.append(pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                                     memory_space=pltpu.VMEM))
+        args.append(miss)
+
+    out_specs = [
+        pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((I, Kp), f32),
+        jax.ShapeDtypeStruct((I, 1), f32),
+    ]
+    kl_spec = pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
+                           memory_space=pltpu.VMEM)
+    kl_shape = jax.ShapeDtypeStruct((Kp, Lp), f32)
+    scratch = [pltpu.VMEM((ti, Kp), f32), pltpu.VMEM((ti, 1), f32)]
+    if emit_b:
+        out_specs += [kl_spec, kl_spec]
+        out_shape += [kl_shape, kl_shape]
+        aliases = {0: 0}
+    else:
+        out_specs.append(kl_spec)
+        out_shape.append(kl_shape)
+        aliases = {0: 0, 1: 2}
+        # kernel unpack order: a_scr, r_scr, b0_scr, b1_scr
+        scratch = scratch + [pltpu.VMEM((Kp, Lp), f32),
+                             pltpu.VMEM((Kp, Lp), f32)]
+
+    outs = pl.pallas_call(
         functools.partial(_fullstep_bi_kernel, tl=tl, n_i=n_i, n_l=n_l,
                           k_true=k_true, lb=lb, plb=plb, project=project,
-                          compute_t=compute_t),
+                          compute_t=compute_t, with_miss=with_miss,
+                          emit_b=emit_b),
         grid=(n_i, n_l),
-        in_specs=[
-            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((I, Kp), f32),
-            jax.ShapeDtypeStruct((I, 1), f32),
-            jax.ShapeDtypeStruct((Kp, Lp), f32),
-        ],
-        input_output_aliases={0: 0, 1: 2},
-        scratch_shapes=[pltpu.VMEM((ti, Kp), f32),
-                        pltpu.VMEM((ti, 1), f32),
-                        pltpu.VMEM((Kp, Lp), f32),
-                        pltpu.VMEM((Kp, Lp), f32)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(eta, p0, x0, x1, c)
+    )(*args)
+    if emit_b:
+        etan, t_out, b0, b1 = outs
+        return etan, t_out[:, 0], b0, b1
+    etan, t_out, p0n = outs
     return etan, t_out[:, 0], p0n
 
 
@@ -440,12 +503,256 @@ _FULLSTEP_BI_TILES = (
 
 
 def pick_layout_biallelic(I: int, Kp: int, L: int):
-    """(ti, tl, Lp) for the biallelic fullstep kernel, or (0, 0, 0)."""
-    for ti, tl, b_max in _FULLSTEP_BI_TILES:
+    """(ti, tl, Lp) for the biallelic fullstep kernel, or (0, 0, 0).
+
+    Among admissible tiles, prefer the one minimizing Lp (padded-loci work
+    is proportional to Lp; a large tl can pad an odd L by up to 2x), then
+    break ties by ladder order (= measured speed).  E.g. L=2560 picks
+    (512, 512) -> Lp=2560 over (256, 2048) -> Lp=4096."""
+    best = None
+    for rank, (ti, tl, b_max) in enumerate(_FULLSTEP_BI_TILES):
         Lp = _round_up(L, tl)
         if I % ti == 0 and Kp * Lp * 4 <= b_max:
-            return ti, tl, Lp
+            if best is None or Lp < best[0]:
+                best = (Lp, rank, ti, tl)
+    if best is None:
+        return 0, 0, 0
+    return best[2], best[3], best[0]
+
+
+# (ti, tl) ladder for the STREAMED biallelic two-pass kernels: p0 and the
+# B0/B1 accumulators are [Kp, tl] blocks (nothing [Kp, Lp] is VMEM
+# resident), so there is NO Lp ceiling - this is the biobank-L path
+# (BASELINE.md config 5, single-chip leg).  Large ti amortizes the p0
+# re-stream (read n_i times per pass), but the per-tile f32 elementwise
+# temporaries cost ~4 live copies x ti x tl x 4 bytes of scoped vmem -
+# (1024, 2048) needs 34 MB against the 16 MB stack (measured round 3), so
+# the ladder caps ti*tl at 512K.  All entries compile-verified by
+# scripts/tpu_compile_sweep.py.
+_FULLSTEP_BI_STREAM_TILES = (
+    (256, 2048), (512, 1024), (256, 1024), (512, 512), (256, 512),
+    (128, 512), (64, 512), (64, 256), (64, 128),
+)
+
+
+def pick_layout_biallelic_streamed(I: int, Kp: int, L: int):
+    """(ti, tl, Lp) for the streamed biallelic two-pass kernels (any L),
+    or (0, 0, 0) when no tile divides I."""
+    del Kp  # no resident-copy budget: tiles only
+    for ti, tl in _FULLSTEP_BI_STREAM_TILES:
+        if I % ti == 0:
+            return ti, tl, _round_up(L, tl)
     return 0, 0, 0
+
+
+def pick_layout_biallelic_any(I: int, Kp: int, L: int):
+    """(ti, tl, Lp, mode) with mode 'resident' (single fused kernel, B in
+    VMEM) when the ladder admits it, else 'streamed' (two-pass, no Lp
+    ceiling); ('', 0 tiles) when neither applies."""
+    ti, tl, Lp = pick_layout_biallelic(I, Kp, L)
+    if ti:
+        return ti, tl, Lp, "resident"
+    ti, tl, Lp = pick_layout_biallelic_streamed(I, Kp, L)
+    if ti:
+        return ti, tl, Lp, "streamed"
+    return 0, 0, 0, ""
+
+
+def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
+                      etan_ref, t_ref, a_scr, r_scr, *,
+                      n_l: int, k_true: int, lb: float, project: bool,
+                      compute_t: bool):
+    """Streamed pass A (grid i-outer, l-inner): per-individual statistics
+    and the COMPLETE eta update; p0 streams through VMEM as [Kp, tl]
+    blocks.  Same math as _fullstep_bi_kernel's A/t/eta side."""
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _():
+        a_scr[:] = jnp.zeros_like(a_scr)
+        r_scr[:] = jnp.zeros_like(r_scr)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    eta = eta_ref[:]
+    p0 = p0_ref[:]                                     # [Kp, tl] block
+    d0 = jnp.dot(eta, p0, preferred_element_type=jnp.float32)
+    s = jnp.sum(eta, axis=1, keepdims=True)
+    d1 = s - d0
+    d0 = jnp.maximum(d0, 1e-30)
+    d1 = jnp.maximum(d1, 1e-30)
+    x0 = x0_ref[:].astype(jnp.float32)
+    x1 = x1_ref[:].astype(jnp.float32)
+    w0 = x0 * _recip(d0)
+    w1 = x1 * _recip(d1)
+    if compute_t:
+        t_ref[:] += jnp.sum(x0 * jnp.log(d0) + x1 * jnp.log(d1), axis=1,
+                            keepdims=True)
+    a_scr[:] += jnp.dot(w0 - w1, p0.T, preferred_element_type=jnp.float32)
+    r_scr[:] += jnp.sum(w1, axis=1, keepdims=True)
+
+    @pl.when(l_idx == n_l - 1)
+    def _():
+        A = a_scr[:] + r_scr[:] + c_ref[:]
+        num = eta_ref[:] * A
+        tot = jnp.sum(num, axis=1, keepdims=True)
+        e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
+                       eta_ref[:])
+        if project:
+            e2 = _michelot_tile(e2, k_true, lb)
+        etan_ref[:] = e2
+
+
+def _bi_lstats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, *rest,
+                      n_i: int, plb: float, project: bool, with_miss: bool,
+                      emit_b: bool):
+    """Streamed pass B (grid l-outer, i-inner): per-locus B0/B1 merges in
+    [Kp, tl] scratch and the COMPLETE p update for the l block at the last
+    i step (or, with ``emit_b``, the raw B0/B1 blocks for the caller's
+    cross-shard merge).  Missing mass folds in as eta^T @ (w + miss)
+    (em_alg.c:400-431, :727-746)."""
+    rest = list(rest)
+    miss_ref = rest.pop(0) if with_miss else None
+    if emit_b:
+        p0n_ref = None
+        b0_out, b1_out, b0_scr, b1_scr = rest
+    else:
+        p0n_ref, b0_scr, b1_scr = rest
+    i_idx = pl.program_id(1)
+
+    @pl.when(i_idx == 0)
+    def _():
+        b0_scr[:] = jnp.zeros_like(b0_scr)
+        b1_scr[:] = jnp.zeros_like(b1_scr)
+
+    eta = eta_ref[:]
+    p0 = p0_ref[:]                                     # [Kp, tl] block
+    d0 = jnp.dot(eta, p0, preferred_element_type=jnp.float32)
+    s = jnp.sum(eta, axis=1, keepdims=True)
+    d1 = s - d0
+    d0 = jnp.maximum(d0, 1e-30)
+    d1 = jnp.maximum(d1, 1e-30)
+    w0 = x0_ref[:].astype(jnp.float32) * _recip(d0)
+    w1 = x1_ref[:].astype(jnp.float32) * _recip(d1)
+    if with_miss:
+        mi = miss_ref[:].astype(jnp.float32)
+        w0 = w0 + mi
+        w1 = w1 + mi
+    b0_scr[:] += jnp.dot(eta.T, w0, preferred_element_type=jnp.float32)
+    b1_scr[:] += jnp.dot(eta.T, w1, preferred_element_type=jnp.float32)
+
+    if emit_b:
+        @pl.when(i_idx == n_i - 1)
+        def _():
+            b0_out[:] = b0_scr[:]
+            b1_out[:] = b1_scr[:]
+    else:
+        @pl.when(i_idx == n_i - 1)
+        def _():
+            p0f = p0_ref[:]
+            pc0 = p0f * b0_scr[:]
+            pc1 = (1.0 - p0f) * b1_scr[:]
+            tot = pc0 + pc1
+            q0 = jnp.where(tot > 0,
+                           pc0 * _recip(jnp.where(tot > 0, tot, 1.0)), 0.0)
+            if project:
+                ub = float(
+                    np.float32(1.0)
+                    - np.float32(max(plb, float(np.finfo(np.float32).eps))))
+                q0 = jnp.where(tot > 0, jnp.clip(q0, plb, ub), 0.0)
+            p0n_ref[:] = q0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
+    "interpret"))
+def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
+                                          ti: int, tl: int, k_true: int,
+                                          lb: float, plb: float,
+                                          project: bool,
+                                          compute_t: bool = True,
+                                          emit_b: bool = False,
+                                          interpret: bool = False):
+    """Biallelic full EM step for UNBOUNDED L: two passes, each streaming
+    x once and p0 as [Kp, tl] blocks, with the eta update finished in pass
+    A and the p update finished per l-block in pass B - B0/B1 never leave
+    VMEM scratch and nothing [Kp, Lp]-sized is VMEM resident.  Covers the
+    biobank-L leg (Lp beyond _FULLSTEP_BI_TILES' resident-copy ceiling);
+    same contract and math as ``admixture_fullstep_biallelic`` (no buffer
+    aliasing: both passes read the original eta/p0).  Cost vs the resident
+    kernel: x/eta stream twice and the denominator matmul runs twice
+    (em_alg.c:435-445's memory/time trade, taken the opposite way)."""
+    I, Kp = eta.shape
+    Lp = p0.shape[1]
+    assert I % ti == 0 and Lp % tl == 0 and Kp % 32 == 0, (I, ti, Lp, tl)
+    n_i, n_l = I // ti, Lp // tl
+    f32 = jnp.float32
+    with_miss = miss is not None
+
+    etan, t_out = pl.pallas_call(
+        functools.partial(_bi_istats_kernel, n_l=n_l, k_true=k_true, lb=lb,
+                          project=project, compute_t=compute_t),
+        grid=(n_i, n_l),
+        in_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((I, Kp), f32),
+            jax.ShapeDtypeStruct((I, 1), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ti, Kp), f32),
+                        pltpu.VMEM((ti, 1), f32)],
+        interpret=interpret,
+    )(eta, p0, x0, x1, c)
+
+    in_specs = [
+        pl.BlockSpec((ti, Kp), lambda l, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, tl), lambda l, i: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda l, i: (i, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda l, i: (i, l),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [eta, p0, x0, x1]
+    if with_miss:
+        in_specs.append(pl.BlockSpec((ti, tl), lambda l, i: (i, l),
+                                     memory_space=pltpu.VMEM))
+        args.append(miss)
+
+    kl_spec = pl.BlockSpec((Kp, tl), lambda l, i: (0, l),
+                           memory_space=pltpu.VMEM)
+    kl_shape = jax.ShapeDtypeStruct((Kp, Lp), f32)
+    outs = pl.pallas_call(
+        functools.partial(_bi_lstats_kernel, n_i=n_i, plb=plb,
+                          project=project, with_miss=with_miss,
+                          emit_b=emit_b),
+        grid=(n_l, n_i),
+        in_specs=in_specs,
+        out_specs=[kl_spec, kl_spec] if emit_b else kl_spec,
+        out_shape=[kl_shape, kl_shape] if emit_b else kl_shape,
+        scratch_shapes=[pltpu.VMEM((Kp, tl), f32),
+                        pltpu.VMEM((Kp, tl), f32)],
+        interpret=interpret,
+    )(*args)
+    if emit_b:
+        return etan, t_out[:, 0], outs[0], outs[1]
+    return etan, t_out[:, 0], outs
 
 
 def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int,
@@ -623,12 +930,14 @@ def admixture_sweep_stats(eta, p2, x2, *, ti: int = 256, tl: int = 512,
     return a_out, t_out[:, 0], b_out
 
 
-def pad_for_kernel(eta, p2, x2, ti: int = 256, tl: int = 512):
+def pad_for_kernel(eta, p2, x2, ti: int = 256, tl: int = 512,
+                   k_mult: int = 32):
     """Zero-pad (I, K, LM) to kernel tile multiples; returns padded arrays
-    and the original sizes for slicing back."""
+    and the original sizes for slicing back.  K pads to 32 lanes (see
+    module docstring: output-area bound, not contraction bound)."""
     I, K = eta.shape
     LM = p2.shape[1]
-    Ip, Kp, LMp = _round_up(I, ti), _round_up(K, 128), _round_up(LM, tl)
+    Ip, Kp, LMp = _round_up(I, ti), _round_up(K, k_mult), _round_up(LM, tl)
     # pad each tensor only if it actually grows (a zero-width jnp.pad can
     # still materialize a copy of the big count tensor)
     if (Ip, Kp) != (I, K):

@@ -84,6 +84,10 @@ class EMState(NamedTuple):
     accel_step: Array     # bool: last accepted step was accelerated
     n_accel: Array        # accepted accelerated steps
     ring: Optional[AccelRing]
+    # adaptive check-interval (cfg.check_interval == 0): logL-free EM
+    # iterations to run before the next stop() check, escalated while the
+    # per-iteration logL delta is far above tolerance (plain_macro_step)
+    interval: Array = None
 
     @property
     def logL(self) -> Array:
@@ -107,7 +111,8 @@ def init_state(params: Params, cfg: EMConfig) -> EMState:
         params=params, logL_hi=f(-jnp.inf), logL_lo=f(0.0), scale=f(0.0),
         n_iter=jnp.zeros((), jnp.int32), converged=b(), stopped=b(),
         failed=b(), mono_viol=b(), accel_step=b(),
-        n_accel=jnp.zeros((), jnp.int32), ring=ring)
+        n_accel=jnp.zeros((), jnp.int32), ring=ring,
+        interval=jnp.ones((), jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +204,8 @@ def _apply_stop(state: EMState, new_params: Params, ll: df64.DF, scale,
         mono_viol=sel(mono_viol | state.mono_viol, state.mono_viol),
         accel_step=sel(accel, state.accel_step),
         n_accel=state.n_accel,
-        ring=state.ring)
+        ring=state.ring,
+        interval=state.interval)
 
 
 # ---------------------------------------------------------------------------
@@ -214,11 +220,12 @@ def plain_step(state: EMState, md: ModelData, cfg: EMConfig) -> EMState:
 
 
 def blind_plain_steps(state: EMState, md: ModelData, cfg: EMConfig,
-                      n: int) -> EMState:
+                      n) -> EMState:
     """``n`` logL-free EM iterations with NO stop() checks in between
     (check-interval mode, config.Options.check_interval; no reference
     counterpart - the reference evaluates stop() every iteration,
-    em_alg.c:101-143).
+    em_alg.c:101-143).  ``n`` may be a traced scalar (adaptive mode; under
+    vmap per-lane bounds batch into a masked while_loop).
 
     Safe by EM monotonicity: the logL is non-decreasing over any number of
     EM steps, so checking only every N-th iteration can stop LATER than
@@ -239,12 +246,52 @@ def blind_plain_steps(state: EMState, md: ModelData, cfg: EMConfig,
         n_iter=state.n_iter + jnp.where(live, n, 0).astype(jnp.int32))
 
 
+# adaptive check-interval tuning (cfg.check_interval == 0): escalate 1 ->
+# 2 -> 4 -> ... -> CAP while the average per-iteration logL gain is more
+# than ESCALATE x the effective tolerance, reset to 1 otherwise.  EM logL
+# deltas decay slowly and smoothly (geometric with ratio near 1), so by
+# the time the delta has fallen within ESCALATE x tolerance of the stop
+# threshold there are always many interval-1 checks left before
+# convergence - the stop iteration matches per-iteration checking.
+ADAPTIVE_CAP = 16
+ADAPTIVE_ESCALATE = 64.0
+
+
+def _adapt_interval(state: EMState, prev: df64.DF, prev_finite, live,
+                    cfg: EMConfig) -> EMState:
+    dtype = state.logL_hi.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    delta = df64.df_value(df64.df_sub((state.logL_hi, state.logL_lo), prev))
+    avg = delta / jnp.maximum(state.interval, 1).astype(dtype)
+    eff = jnp.maximum(jnp.asarray(cfg.abs_error, dtype),
+                      cfg.noise_factor * eps * state.scale)
+    if cfg.rel_error:
+        eff = jnp.maximum(eff, jnp.asarray(cfg.rel_error, dtype)
+                          * jnp.abs(state.logL_hi))
+    fast = (avg > ADAPTIVE_ESCALATE * eff) | ~prev_finite
+    new_int = jnp.where(fast, jnp.minimum(state.interval * 2, ADAPTIVE_CAP),
+                        1).astype(jnp.int32)
+    return state._replace(
+        interval=jnp.where(live, new_int, state.interval))
+
+
 def plain_macro_step(state: EMState, md: ModelData,
                      cfg: EMConfig) -> EMState:
-    """cfg.check_interval plain-EM iterations with ONE stop() evaluation:
-    the first N-1 run the logL-free kernel (the per-cell logs are the
-    dominant VPU cost at small K, BASELINE.md), the last is a full
-    plain_step.  Reduces to plain_step at the default interval of 1."""
+    """One macro plain-EM iteration with ONE stop() evaluation.
+
+    cfg.check_interval semantics: 1 = exactly plain_step (per-iteration
+    checking, the reference contract); N > 1 = N-1 logL-free iterations
+    (the per-cell logs are the dominant VPU cost at small K, BASELINE.md)
+    then a full plain_step; 0 = ADAPTIVE - the blind-run length lives in
+    the chain state (state.interval) and is escalated/reset from the
+    measured per-iteration logL delta (_adapt_interval)."""
+    if cfg.check_interval == 0:
+        live = ~state.stopped
+        prev = (state.logL_hi, state.logL_lo)
+        prev_finite = jnp.isfinite(state.logL_hi)
+        state = blind_plain_steps(state, md, cfg, state.interval - 1)
+        state = plain_step(state, md, cfg)
+        return _adapt_interval(state, prev, prev_finite, live, cfg)
     if cfg.check_interval > 1:
         state = blind_plain_steps(state, md, cfg, cfg.check_interval - 1)
     return plain_step(state, md, cfg)

@@ -105,7 +105,7 @@ def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
 def shard_model_data(md: ModelData, mesh: Mesh) -> ModelData:
     # x_flat is derived data (prepare_for_em re-derives it inside jit with
     # the sharding propagated from x); don't ship it across the mesh
-    md = md._replace(x_flat=None, x_bi=None)
+    md = md._replace(x_flat=None, x_bi=None, miss_st=None)
     specs = data_specs(md.row_valid is not None)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(
@@ -135,13 +135,19 @@ def chain_param_specs() -> Params:
 
 def shard_chain_params(params_b: Params, mesh: Mesh) -> Params:
     """Place a chain-batch parameter pytree onto the mesh.  Mixture /
-    constrained chains carry a [B, K] eta - replicated."""
+    constrained chains carry a [B, K] eta - replicated.  The biallelic
+    p0-representation ([B, Kp, Lp] p, same ndim as eta) puts loci on the
+    model axis (inert: the representation requires model_shards == 1)."""
     if params_b.eta.ndim < 3:
         specs = Params(eta=P(), p=P(None, None, MODEL_AXIS, None))
+    elif params_b.p.ndim == params_b.eta.ndim:
+        specs = Params(eta=P(None, DATA_AXIS, None),
+                       p=P(None, None, MODEL_AXIS))
     else:
         specs = chain_param_specs()
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _feasible_spec(x, s, mesh))),
         params_b, specs)
 
 
@@ -154,6 +160,7 @@ def constrain_chain_state(state, mesh: Mesh):
     [B, ..., K, L, M] pin L to the model axis; scalars-per-chain stay
     replicated."""
     per_individual = state.params.eta.ndim >= 3
+    bi_repr = state.params.p.ndim == state.params.eta.ndim
 
     def c(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
@@ -164,6 +171,10 @@ def constrain_chain_state(state, mesh: Mesh):
         return c(x, P(*([None] * (x.ndim - 2) + [DATA_AXIS, None])))
 
     def p_spec(x):
+        if bi_repr:
+            # p0-representation [.., Kp, Lp]: loci last (inert - the repr
+            # requires model_shards == 1, runtime/mesh.shard_chain_params)
+            return c(x, P(*([None] * (x.ndim - 1) + [MODEL_AXIS])))
         return c(x, P(*([None] * (x.ndim - 3) + [None, MODEL_AXIS, None])))
 
     params = Params(eta=eta_spec(state.params.eta), p=p_spec(state.params.p))
@@ -191,7 +202,7 @@ def pad_md_rows_loci(md: ModelData, I_pad: int, L_pad: int) -> ModelData:
         row_valid=(jnp.pad(md.row_valid, (0, dI))
                    if md.row_valid is not None else
                    (jnp.arange(I_pad) < md.I if dI > 0 else None)),
-        x_flat=None, x_bi=None)
+        x_flat=None, x_bi=None, miss_st=None)
 
 
 def shardable_sizes(I: int, L: int, mesh: Mesh) -> Tuple[int, int]:

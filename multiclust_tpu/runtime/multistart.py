@@ -69,24 +69,16 @@ def cfg_from_options(opt: Options, K: int,
 
 def _pad_k(params: Params, cfg: EMConfig,
            md: Optional[ModelData] = None) -> Params:
-    """K-pad admixture params to the Pallas lane layout (pads zero);
-    no-op for the XLA/CPU paths.  The generic kernels want 128-lane K;
-    the biallelic kernel only needs 32 (its A/B outputs scale with Kp -
-    measured 20% faster at K=20 - while matmul contraction depth <= 128
-    is time-flat on the MXU, so smaller padding loses nothing).  32-lane
-    padding is picked only when the biallelic kernel will actually tile
-    the fit shapes (resident B bounds Lp), else the generic 128 layout."""
+    """K-pad admixture params to the Pallas 32-lane layout (pads zero);
+    no-op for the XLA/CPU paths.  Both the biallelic and the generic
+    fullstep/sweep kernels take 32-lane K: their A/B accumulator outputs
+    (and VMEM residency) scale with Kp - measured 20% faster at K=20 -
+    while matmul contraction depth <= 128 is time-flat on the MXU, so the
+    smaller padding loses nothing (BASELINE.md small-K analysis)."""
     if (cfg.use_pallas != "off" and cfg.admixture
             and not cfg.eta_constrained and cfg.k_true):
         from multiclust_tpu.model.common import k_padded_size, pad_params_k
-        mult = 128
-        if cfg.bi_repr_active and md is not None:
-            from multiclust_tpu.ops.kernels import pick_layout_biallelic
-            Ip = _row_pad_target(md.I, cfg) or md.I
-            if pick_layout_biallelic(Ip, k_padded_size(cfg.k_true, 32),
-                                     md.L)[0]:
-                mult = 32
-        return pad_params_k(params, k_padded_size(cfg.k_true, mult))
+        return pad_params_k(params, k_padded_size(cfg.k_true, 32))
     return params
 
 
@@ -97,9 +89,11 @@ def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
     No-op when inactive or the shapes don't tile."""
     if not cfg.bi_repr_active or params.p.ndim == params.eta.ndim:
         return params
-    from multiclust_tpu.ops.kernels import pick_layout_biallelic
+    from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
     Kp = params.eta.shape[-1]
-    ti, tl, Lp = pick_layout_biallelic(Ip, Kp, L)
+    # under a mesh the kernels tile PER-SHARD rows (same divisor the
+    # meshed step uses, model/admixture._em_step_bi_repr_meshed)
+    ti, tl, Lp, _ = pick_layout_biallelic_any(Ip // cfg.data_shards, Kp, L)
     if not ti:
         return params  # untileable: the glue fallback handles full p
     p0 = params.p[..., 0]
@@ -186,7 +180,7 @@ def _pad_md_rows(md: ModelData, Ip: int) -> ModelData:
         miss=jnp.pad(md.miss, ((0, d), (0, 0))),
         row_valid=(None if md.row_valid is None
                    else jnp.pad(md.row_valid, (0, d))),
-        x_flat=None, x_bi=None)
+        x_flat=None, x_bi=None, miss_st=None)
 
 
 def _pad_params_rows(params: Params, Ip: int, cfg: EMConfig) -> Params:
@@ -464,7 +458,23 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
             procedure=opt.initialization_procedure,
             n_rand_em_init=opt.n_rand_em_init, codes=codes,
             md_score=md_score)
-        return _pad_k(jax.vmap(init_fn)(keys), cfg, md_fit)
+        pb = _pad_k(jax.vmap(init_fn)(keys), cfg, md_fit)
+        if cfg.mesh is not None and not cfg.eta_is_vector:
+            # pad rows/loci and convert to the kernel representation HERE
+            # (outside the sharded jitted functions), then place the chain
+            # batch on the mesh with its final shardings via device_put:
+            # letting GSPMD re-shard the freshly-initialized batch inside
+            # mk_state/refill triggers involuntary full rematerialization
+            # of the concatenate/broadcast pads (spmd_partitioner warnings
+            # in the round-2 dryrun); init_one's padding helpers are
+            # no-ops on already-padded params
+            from multiclust_tpu.runtime.mesh import shard_chain_params
+            Ip = _row_pad_target(md_fit.I, cfg) or md_fit.I
+            pb = _pad_params_rows(pb, Ip, cfg)
+            pb = _pad_params_loci(pb, md_fit.L)
+            pb = _to_bi_repr(pb, cfg, Ip, md_fit.L)
+            pb = shard_chain_params(pb, cfg.mesh)
+        return pb
 
     key, sub = jax.random.split(key)
     state = mk_state(make_inits(sub, B), md_fit)
@@ -572,9 +582,6 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         md_fit = collapse_for_constrained(md)
     else:
         md_fit = md
-    # Rand-EM candidates are scored on the UNSHARDED/unpadded fit data
-    # (their parameter shapes come from the original md)
-    md_score = md_fit
 
     if cfg.mesh is not None:
         # multi-chip production path: pad individuals/loci to shardable
@@ -589,6 +596,12 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         Lp = -(-md_fit.L // mm) * mm
         md_fit = mesh_mod.pad_md_rows_loci(md_fit, Ip, Lp)
         md_fit = mesh_mod.shard_model_data(md_fit, cfg.mesh)
+
+    # Rand-EM candidates score on the FIT data - padded AND sharded under
+    # a mesh, so candidate scoring rides the same collectives as the fit
+    # (padded rows/loci contribute zero logL; rand_em_initialize adapts
+    # the candidate shapes).  Partition construction still uses `md`.
+    md_score = md_fit
 
     if checkpoint_dir:
         from multiclust_tpu.runtime import checkpoint as ckpt

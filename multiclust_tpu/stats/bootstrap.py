@@ -132,7 +132,8 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
     (multiclust.c:681) per SURVEY.md section 2.3 (bootstrap parallelism)."""
     from multiclust_tpu.init.random import codes_from_counts_jax, initialize
     from multiclust_tpu.runtime.multistart import _pad_k, _pad_md_rows, \
-        _pad_params_rows, _row_pad_target, cfg_from_options
+        _pad_params_loci, _pad_params_rows, _row_pad_target, \
+        cfg_from_options
 
     B = max(opt.n_init, 1)
     chunk = replicate_chunk(md, B, n_reps)
@@ -153,12 +154,24 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
         maxll = {}
         for K in (opt.max_K - 1, opt.max_K):
             cfg = cfg_from_options(opt, K, md)
+            # candidates initialize on the UNPADDED replicate data (codes
+            # carry the unpadded [I, L, P] shape); the lattice fit runs on
+            # the row/loci-padded - and, under --mesh, sharded - variant
             md_b = jax.vmap(
-                lambda x: md._replace(x=x.astype(md.x.dtype), x_flat=None, x_bi=None)
+                lambda x: md._replace(x=x.astype(md.x.dtype), x_flat=None,
+                                      x_bi=None, miss_st=None)
             )(counts_b)
-            Ip = _row_pad_target(md.I, cfg)
-            if Ip:
-                md_b = jax.vmap(lambda m: _pad_md_rows(m, Ip))(md_b)
+            Ip = _row_pad_target(md.I, cfg) or md.I
+            Lp = -(-md.L // cfg.model_shards) * cfg.model_shards
+            md_fit_b = md_b
+            if Ip != md.I or Lp != md.L:
+                from multiclust_tpu.runtime import mesh as mesh_mod
+                md_fit_b = jax.vmap(
+                    lambda m: mesh_mod.pad_md_rows_loci(m, Ip, Lp))(md_b)
+            if cfg.mesh is not None:
+                # replicate x init stay vmap axes; I/L shard on the mesh
+                # (SURVEY.md section 2.3 bootstrap parallelism + DP/TP)
+                md_fit_b = _shard_replicates(md_fit_b, cfg.mesh)
 
             def init_rep(kr, m, cd):
                 def one(k):
@@ -168,7 +181,8 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
                         n_rand_em_init=opt.n_rand_em_init,
                         codes=cd if opt.admixture else None)
                     params = _pad_k(params, cfg, m)
-                    return _pad_params_rows(params, Ip or m.I, cfg)
+                    params = _pad_params_rows(params, Ip, cfg)
+                    return _pad_params_loci(params, Lp)
                 return jax.vmap(one)(jax.random.split(kr, B))
 
             keys_r = jax.random.split(jax.random.fold_in(kinit, K), c)
@@ -176,12 +190,55 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
                 keys_r, md_b,
                 codes_b if codes_b is not None
                 else jnp.zeros((c, 1), jnp.int32))
-            state = _fit_lattice(params_rb, md_b, cfg)
+            if cfg.mesh is not None:
+                params_rb = _shard_lattice_params(params_rb, cfg.mesh)
+            state = _fit_lattice(params_rb, md_fit_b, cfg)
             lls = np.asarray(state.logL_hi + state.logL_lo)   # [c, B]
             lls = np.where(np.isfinite(lls), lls, -np.inf)
             maxll[K] = lls.max(axis=1)
         ts.append(maxll[opt.max_K] - maxll[opt.max_K - 1])
     return np.concatenate(ts)
+
+
+def _shard_replicates(md_b: ModelData, mesh):
+    """Place a replicate-stacked ModelData ([c, ...] leaves) on the mesh:
+    individuals on the data axis, loci on the model axis, the replicate
+    axis vmapped (replicated placement-wise)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multiclust_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS, \
+        _feasible_spec
+
+    specs = ModelData(
+        x=P(None, DATA_AXIS, MODEL_AXIS, None),
+        miss=P(None, DATA_AXIS, MODEL_AXIS),
+        mask=P(None, MODEL_AXIS, None),
+        n_alleles=P(None, MODEL_AXIS),
+        row_valid=(P(None, DATA_AXIS) if md_b.row_valid is not None
+                   else None))
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _feasible_spec(x, s, mesh))), md_b,
+        specs)
+
+
+def _shard_lattice_params(params_rb: Params, mesh):
+    """Place a [replicate, init, ...] parameter lattice on the mesh
+    (admixture eta rows on the data axis, p loci on the model axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multiclust_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS, \
+        _feasible_spec
+
+    if params_rb.eta.ndim < 4:   # mixture/constrained: [c, B, K]
+        specs = Params(eta=P(), p=P(None, None, None, MODEL_AXIS, None))
+    else:
+        specs = Params(eta=P(None, None, DATA_AXIS, None),
+                       p=P(None, None, None, MODEL_AXIS, None))
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _feasible_spec(x, s, mesh))),
+        params_rb, specs)
 
 
 def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
@@ -192,11 +249,13 @@ def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
 
     Default: replicates fit as BATCHED (replicate x init) chain lattices,
     chunked by an HBM estimate - sublinear wall-clock in -b (SURVEY.md
-    section 2.3 bootstrap parallelism).  The serial per-replicate loop
-    remains for the stop regimes whose bookkeeping is inherently
-    sequential (-t / -u), per-iteration verbosity, and meshed fits."""
+    section 2.3 bootstrap parallelism); under --mesh the lattice's I/L
+    axes shard across the device mesh while replicate x init stay vmap
+    axes.  The serial per-replicate loop remains for the stop regimes
+    whose bookkeeping is inherently sequential (-t / -u) and
+    per-iteration verbosity."""
     exotic = (opt.target_ll or opt.target_revisit or opt.n_seconds
-              or opt.verbosity > 3 or opt.mesh_shape)
+              or opt.verbosity > 3)
     if not exotic:
         ts_arr = _batched_ts(key, md, opt, h0_params, ploidy,
                              opt.n_bootstrap)
@@ -221,7 +280,7 @@ def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
         counts = simulate_replicate(ksim, h0_params, md, ploidy,
                                     opt.admixture)
         md_rep = md._replace(x=counts.astype(md.x.dtype),  # keeps storage dtype
-                             x_flat=None, x_bi=None)
+                             x_flat=None, x_bi=None, miss_st=None)
         codes = None
         if opt.admixture:
             codes = jnp.asarray(codes_from_counts(

@@ -1,0 +1,178 @@
+"""Compile-check the Pallas tile ladders on the REAL TPU.
+
+The 16 MB scoped-vmem stack is invisible to interpret-mode CPU tests
+(CLAUDE.md): a tile/scratch/layout change can ship a compile-time OOM that
+only a real-TPU compile catches (the round-2 bug class: biallelic fits
+with Lp in (8192, 24576] - BASELINE.md).  This script compiles
+``admixture_fullstep`` and ``admixture_fullstep_biallelic`` at the LARGEST
+admissible shape of every ``_FULLSTEP_TILES`` / ``_FULLSTEP_BI_TILES``
+entry, in every kernel variant that changes VMEM pressure
+(compute_t x with_miss), and exits nonzero if any entry fails.
+
+Run it after ANY change to ops/kernels.py tile ladders, scratch shapes, or
+kernel-body temporaries:
+
+    python scripts/tpu_compile_sweep.py            # full sweep
+    python scripts/tpu_compile_sweep.py --bi-only  # biallelic ladder only
+    python scripts/tpu_compile_sweep.py --fast     # binding variants only
+
+Uses jit(...).lower(ShapeDtypeStruct).compile() so no data crosses the
+tunnel (remote compile rejects big constants with HTTP 413).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from multiclust_tpu.ops import kernels as kn
+
+
+def _sds(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss):
+    Lp = (b_max // (Kp * 4)) // tl * tl
+    if Lp == 0:
+        return None
+    I = 2 * ti
+    f32, i8 = jnp.float32, jnp.int8
+    args = [_sds((I, Kp), f32), _sds((Kp, Lp), f32),
+            _sds((I, Lp), i8), _sds((I, Lp), i8), _sds((I, 1), f32)]
+    if with_miss:
+        args.append(_sds((I, Lp), i8))
+    kn.admixture_fullstep_biallelic.lower(
+        *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
+        compute_t=compute_t, interpret=False).compile()
+    return (I, Kp, Lp)
+
+
+def compile_bi_streamed(ti, tl, Kp, compute_t, with_miss):
+    # VMEM pressure is Lp-independent (everything is tile-blocked); a
+    # moderate Lp keeps the grid real without a huge HLO
+    Lp = 16 * tl
+    I = 2 * ti
+    f32, i8 = jnp.float32, jnp.int8
+    args = [_sds((I, Kp), f32), _sds((Kp, Lp), f32),
+            _sds((I, Lp), i8), _sds((I, Lp), i8), _sds((I, 1), f32)]
+    if with_miss:
+        args.append(_sds((I, Lp), i8))
+    kn.admixture_fullstep_biallelic_streamed.lower(
+        *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
+        compute_t=compute_t, interpret=False).compile()
+    return (I, Kp, Lp)
+
+
+def compile_generic(ti, tl, b_max, Kp, compute_t):
+    LMp = (b_max // (Kp * 4)) // tl * tl
+    if LMp == 0:
+        return None
+    I = 2 * ti
+    f32, i8 = jnp.float32, jnp.int8
+    args = [_sds((I, Kp), f32), _sds((Kp, LMp), f32),
+            _sds((I, LMp), i8), _sds((I, 1), f32)]
+    kn.admixture_fullstep.lower(
+        *args, ti=ti, tl=tl, k_true=20, lb=1e-8, project=True,
+        compute_t=compute_t, interpret=False).compile()
+    return (I, Kp, LMp)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bi-only", action="store_true")
+    ap.add_argument("--generic-only", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="binding variants only (compute_t=True, miss on)")
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    if dev.platform == "cpu":
+        print("WARNING: CPU backend cannot see the scoped-vmem limit; "
+              "this sweep is only meaningful on a real TPU", file=sys.stderr)
+
+    failures = []
+    n_ok = 0
+
+    if not args.generic_only:
+        variants = [(True, True)] if args.fast else [
+            (True, True), (True, False), (False, True), (False, False)]
+        for ti, tl, b_max in kn._FULLSTEP_BI_TILES:
+            for Kp in (32,):
+                for compute_t, with_miss in variants:
+                    tag = (f"bi ti={ti} tl={tl} cap={b_max//1024}K Kp={Kp} "
+                           f"t={int(compute_t)} miss={int(with_miss)}")
+                    t0 = time.time()
+                    try:
+                        shape = compile_bi(ti, tl, b_max, Kp, compute_t,
+                                           with_miss)
+                        if shape is None:
+                            print(f"SKIP {tag} (no admissible Lp)")
+                            continue
+                        n_ok += 1
+                        print(f"OK   {tag} shape={shape} "
+                              f"({time.time()-t0:.1f}s)")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(tag)
+                        print(f"FAIL {tag}: {type(e).__name__}: "
+                              f"{str(e)[:300]}", file=sys.stderr)
+
+    if not args.generic_only:
+        variants = [(True, True)] if args.fast else [
+            (True, True), (True, False), (False, True), (False, False)]
+        for ti, tl in kn._FULLSTEP_BI_STREAM_TILES:
+            for Kp in (32,):
+                for compute_t, with_miss in variants:
+                    tag = (f"bi-stream ti={ti} tl={tl} Kp={Kp} "
+                           f"t={int(compute_t)} miss={int(with_miss)}")
+                    t0 = time.time()
+                    try:
+                        shape = compile_bi_streamed(ti, tl, Kp, compute_t,
+                                                    with_miss)
+                        n_ok += 1
+                        print(f"OK   {tag} shape={shape} "
+                              f"({time.time()-t0:.1f}s)")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(tag)
+                        print(f"FAIL {tag}: {type(e).__name__}: "
+                              f"{str(e)[:300]}", file=sys.stderr)
+
+    if not args.bi_only:
+        variants_t = [True] if args.fast else [True, False]
+        for ti, tl, b_max in kn._FULLSTEP_TILES:
+            for Kp in getattr(kn, "GENERIC_K_LANES", (128,)):
+                for compute_t in variants_t:
+                    tag = (f"gen ti={ti} tl={tl} cap={b_max//1024}K "
+                           f"Kp={Kp} t={int(compute_t)}")
+                    t0 = time.time()
+                    try:
+                        shape = compile_generic(ti, tl, b_max, Kp, compute_t)
+                        if shape is None:
+                            print(f"SKIP {tag} (no admissible LMp)")
+                            continue
+                        n_ok += 1
+                        print(f"OK   {tag} shape={shape} "
+                              f"({time.time()-t0:.1f}s)")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(tag)
+                        print(f"FAIL {tag}: {type(e).__name__}: "
+                              f"{str(e)[:300]}", file=sys.stderr)
+
+    print(f"\n{n_ok} compiled OK, {len(failures)} failed")
+    if failures:
+        for f in failures:
+            print(f"  FAILED: {f}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,13 +50,21 @@ def test_parse_check_interval():
     assert opt.check_interval == 8
     assert opt.checkpoint_dir is None      # prefix disambiguation intact
     opt2 = parse_args(["-f", "x.str", "--checkpoint", "ckpt/"])
-    assert opt2.checkpoint_dir == "ckpt/" and opt2.check_interval == 1
+    # default is 0 = adaptive (escalate/reset from measured logL deltas)
+    assert opt2.checkpoint_dir == "ckpt/" and opt2.check_interval == 0
+    assert parse_args(["-f", "x", "--check-interval", "0"]
+                      ).check_interval == 0
     with pytest.raises(SystemExit):
-        parse_args(["-f", "x", "--check-interval", "0"])
+        parse_args(["-f", "x", "--check-interval", "-1"])
     # per-iteration trace contract: verbosity > MINIMAL forces interval 1
     noisy = parse_args(["-f", "x.str", "--check-interval", "8",
                         "-v", "5"]).synchronize(100, 2)
     assert noisy.check_interval == 1
+    # acceleration checks logL every macro step: interval pinned to 1 so
+    # a stale value can't leak into future accelerated paths
+    accel = parse_args(["-f", "x.str", "--check-interval", "8",
+                        "-s", "1"]).synchronize(100, 2)
+    assert accel.check_interval == 1
 
 
 def test_parse_args_errors():

@@ -203,6 +203,145 @@ def test_sharded_sweep_two_pass_kernels(data, monkeypatch):
                - float(df64.df_value(ref_ll))) < 1e-2
 
 
+@pytest.mark.parametrize("shape,missing_rate", [((4, 1), 0.0), ((4, 1), 0.1),
+                                                ((8, 1), 0.0)])
+def test_bi_repr_under_mesh_matches_xla(shape, missing_rate):
+    """The biallelic p0-representation step under a data-axis mesh
+    (emit_b kernels + psum-merged B + replicated p epilogue) matches the
+    unsharded XLA step, with and without missing data (VERDICT round 2,
+    item 2)."""
+    from multiclust_tpu.model.common import k_padded_size, pad_params_k
+    from multiclust_tpu.runtime.multistart import _to_bi_repr, _unpad_k
+
+    rng = np.random.default_rng(23)
+    # local rows (I / data_shards) must admit a kernel tile (ti >= 64)
+    I, L, K = 64 * shape[0], 48, 3
+    miss = (rng.binomial(2, missing_rate, size=(I, L))
+            if missing_rate else np.zeros((I, L), np.int64))
+    x0 = rng.binomial(2 - miss, 0.5)
+    counts = np.stack([x0, 2 - miss - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.asarray(miss, jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    md_f = md._replace(x=md.x.astype(jnp.float32))
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    params = Params(
+        eta=jnp.asarray(rng.dirichlet(np.full(K, 2.0), size=I),
+                        jnp.float32),
+        p=jnp.asarray(np.stack([p0t, 1 - p0t], axis=2), jnp.float32))
+
+    cfg0 = EMConfig(admixture=True, has_missing=missing_rate > 0)
+    ref_params, ref_ll, _ = jax.jit(
+        admixture.em_step, static_argnums=2)(params, md_f, cfg0)
+
+    m = mesh_mod.make_mesh(shape,
+                           devices=jax.devices()[:shape[0] * shape[1]])
+    cfg = cfg0._replace(use_pallas="interpret", biallelic=True, k_true=K,
+                        mesh=m)
+    assert cfg.bi_repr_active
+    pad = pad_params_k(params, k_padded_size(K, 32))
+    bi = _to_bi_repr(pad, cfg, I, L)
+    assert bi.p.ndim == 2 and bi.p.shape[0] == 32  # really the p0 repr
+    md_s = mesh_mod.shard_model_data(md.prepare_for_em(bi=True), m)
+    out, ll, _ = jax.jit(admixture.em_step, static_argnums=2)(
+        bi, md_s, cfg)
+    got = _unpad_k(out, cfg, I, L)
+    np.testing.assert_allclose(np.asarray(got.eta),
+                               np.asarray(ref_params.eta), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(got.p),
+                               np.asarray(ref_params.p), atol=3e-6)
+    assert abs(float(df64.df_value(ll))
+               - float(df64.df_value(ref_ll))) < 1e-2
+    # loci sharding is the one remaining fallback: the representation
+    # must deactivate so the generic sharded sweep takes over
+    assert not cfg._replace(mesh=mesh_mod.cached_mesh((4, 2))).bi_repr_active
+
+
+def test_bi_repr_production_engine_meshed():
+    """The production engine on an (8,1) mesh with biallelic int8 data
+    runs the p0-representation kernels per shard and matches the unsharded
+    engine fit."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    from multiclust_tpu.runtime.multistart import cfg_from_options, \
+        maximize_likelihood
+
+    rng = np.random.default_rng(31)
+    I, L, K = 512, 32, 3  # local rows 512/8 = 64 = the smallest tile
+    p_true = rng.choice([0.15, 0.85], size=(K, L))
+    eta_true = rng.dirichlet(np.full(K, 0.4), size=I)
+    x0 = rng.binomial(2, eta_true @ p_true)
+    counts = np.stack([x0, 2 - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    codes = jnp.asarray(codes_from_counts(
+        counts.astype(np.int64), np.zeros((I, L), np.int64), 2))
+    base = dict(admixture=True, n_init=3, batch_chains=3, min_K=3, max_K=3,
+                n_rand_em_init=4, use_pallas=True)
+    # use_pallas=True forces interpret off; on CPU the compiled kernels
+    # cannot run - run the interpret path by patching the policy through
+    # cfg_from_options via Options.use_pallas and EMConfig replacement
+    opt_ref = Options(**base, mesh_shape=None).synchronize(I, 2)
+    opt_mesh = Options(**base, mesh_shape=(8, 1)).synchronize(I, 2)
+    cfg_mesh = cfg_from_options(opt_mesh, 3, md)
+    assert cfg_mesh.biallelic and cfg_mesh.bi_repr_active
+
+    import multiclust_tpu.runtime.multistart as ms
+    orig = ms.cfg_from_options
+
+    def patched(opt, Kk, mdd=None):
+        return orig(opt, Kk, mdd)._replace(use_pallas="interpret")
+
+    ms.cfg_from_options = patched
+    try:
+        ref = maximize_likelihood(jax.random.PRNGKey(3), md, 3, opt_ref,
+                                  n_parameters=40, codes=codes)
+        out = maximize_likelihood(jax.random.PRNGKey(3), md, 3, opt_mesh,
+                                  n_parameters=40, codes=codes)
+    finally:
+        ms.cfg_from_options = orig
+    assert out.ever_converged
+    assert abs(ref.max_logL - out.max_logL) < 5e-2, \
+        (ref.max_logL, out.max_logL)
+    assert out.best_params.p.shape == (3, L, 2)
+
+
+def test_bootstrap_batched_under_mesh_matches(data):
+    """-b with --mesh runs the batched (replicate x init) lattice with
+    I/L sharded on the mesh, matching the unsharded lattice's test
+    statistics (VERDICT round 2, item 7; multiclust.c:675-708)."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.opt.driver import fit
+    from multiclust_tpu.opt import em as em_mod
+    from multiclust_tpu.runtime.multistart import cfg_from_options
+    from multiclust_tpu.stats import bootstrap as bs
+
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    rng = np.random.default_rng(41)
+    h0 = make_params(rng, 2, ds, per_individual=True)
+    base = dict(admixture=True, n_init=2, max_K=3, min_K=3,
+                dtype="float64", n_bootstrap=3, n_rand_em_init=2)
+    opt0 = Options(**base).synchronize(ds.I, ds.ploidy)
+    optm = Options(**base, mesh_shape=(4, 2)).synchronize(ds.I, ds.ploidy)
+    assert cfg_from_options(optm, 3, md).mesh is not None
+
+    ts0 = bs._batched_ts(jax.random.PRNGKey(5), md, opt0, h0, ds.ploidy, 3)
+    tsm = bs._batched_ts(jax.random.PRNGKey(5), md, optm, h0, ds.ploidy, 3)
+    assert ts0.shape == tsm.shape == (3,)
+    assert np.all(np.isfinite(ts0)) and np.all(np.isfinite(tsm))
+    # identical keys -> identical replicates and starts; fits differ only
+    # by psum reduction order
+    np.testing.assert_allclose(tsm, ts0, atol=1e-5)
+
+    # the exotic fallback no longer triggers on mesh_shape alone
+    assert not (optm.target_ll or optm.target_revisit or optm.n_seconds
+                or optm.verbosity > 3)
+
+
 def test_padded_rows_are_inert(data):
     """Padding individuals/loci to shardable sizes must not change the
     fit (mixture uses row_valid; admixture pads are inert)."""

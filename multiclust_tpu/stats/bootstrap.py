@@ -132,7 +132,7 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
     (multiclust.c:681) per SURVEY.md section 2.3 (bootstrap parallelism)."""
     from multiclust_tpu.init.random import codes_from_counts_jax, initialize
     from multiclust_tpu.runtime.multistart import _pad_k, _pad_md_rows, \
-        _pad_params_loci, _pad_params_rows, _row_pad_target, \
+        _pad_params_loci, _pad_params_rows, _row_pad_target, _to_bi_repr, \
         cfg_from_options
 
     B = max(opt.n_init, 1)
@@ -190,6 +190,10 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
                 keys_r, md_b,
                 codes_b if codes_b is not None
                 else jnp.zeros((c, 1), jnp.int32))
+            # biallelic panels: carry the lattice in the p0-representation
+            # so replicate fits run the fused biallelic kernels (only the
+            # per-replicate max logL is harvested - no unpad needed)
+            params_rb = _to_bi_repr(params_rb, cfg, Ip, Lp)
             if cfg.mesh is not None:
                 params_rb = _shard_lattice_params(params_rb, cfg.mesh)
             state = _fit_lattice(params_rb, md_fit_b, cfg)
@@ -232,6 +236,10 @@ def _shard_lattice_params(params_rb: Params, mesh):
 
     if params_rb.eta.ndim < 4:   # mixture/constrained: [c, B, K]
         specs = Params(eta=P(), p=P(None, None, None, MODEL_AXIS, None))
+    elif params_rb.p.ndim == params_rb.eta.ndim:
+        # biallelic p0-representation: p [c, B, Kp, Lp]
+        specs = Params(eta=P(None, None, DATA_AXIS, None),
+                       p=P(None, None, None, MODEL_AXIS))
     else:
         specs = Params(eta=P(None, None, DATA_AXIS, None),
                        p=P(None, None, None, MODEL_AXIS, None))

@@ -1,0 +1,138 @@
+"""Measure per-iteration collective volume of the meshed EM step.
+
+Compiles the production meshed admixture EM step (biallelic
+p0-representation and the generic path) on a virtual d-device mesh and
+walks the OPTIMIZED HLO for collective ops (all-reduce / all-gather /
+reduce-scatter / collective-permute), summing their payload bytes.  This
+is the supporting evidence for the >=80% multi-host scaling target
+(BASELINE.md config 5): the I-axis (data-parallel) layout makes the only
+per-iteration collective the B-accumulator psum, whose [Kp, Lp] volume is
+CONSTANT in the number of shards - so scaling efficiency is
+compute_time/d vs a fixed collective time, and the model below projects
+the shard count where efficiency crosses 80%.
+
+Usage: python scripts/collective_volume.py [I L K d]
+Runs on the CPU backend with d forced host devices (no TPU needed - the
+partitioner's collective insertion is backend-independent).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+I = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+L = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+D = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + f" --xla_force_host_platform_device_count={D}")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from multiclust_tpu.model import admixture  # noqa: E402
+from multiclust_tpu.model.common import (EMConfig, ModelData,  # noqa: E402
+                                         Params, k_padded_size,
+                                         pad_params_k)
+from multiclust_tpu.runtime import mesh as mesh_mod  # noqa: E402
+from multiclust_tpu.runtime.multistart import _to_bi_repr  # noqa: E402
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
+
+
+def collective_bytes(hlo: str):
+    """Sum payload bytes per collective kind from optimized HLO text."""
+    out = {}
+    pat = re.compile(
+        r"=\s*((?:\([^)]*\)|[a-z0-9]+\[[0-9,]*\]))\S*\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    for m in pat.finditer(hlo):
+        total = 0
+        for dt, dims in shape_pat.findall(m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES.get(dt, 4)
+        k = m.group(2)
+        out[k] = out.get(k, 0) + total
+    return out
+
+
+def compiled_step_hlo(biallelic: bool):
+    mesh = mesh_mod.make_mesh((D, 1))
+    rng = np.random.default_rng(0)
+    if biallelic:
+        M = 2
+        x0 = rng.integers(0, 3, size=(I, L))
+        counts = np.stack([x0, 2 - x0], axis=2)
+    else:
+        M = 3
+        counts = rng.multinomial(2, [1 / M] * M, size=(I, L))
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.float32),
+                   mask=jnp.ones((L, M), bool),
+                   n_alleles=jnp.full((L,), M, jnp.int32))
+    eta = rng.dirichlet(np.full(K, 2.0), size=I)
+    p = rng.dirichlet(np.full(M, 1.0), size=(K, L))
+    params = Params(eta=jnp.asarray(eta, jnp.float32),
+                    p=jnp.asarray(np.transpose(p, (0, 1, 2)), jnp.float32))
+    cfg = EMConfig(admixture=True, use_pallas="interpret", k_true=K,
+                   biallelic=biallelic, has_missing=False, mesh=mesh)
+    params = pad_params_k(params, k_padded_size(K, 32))
+    if biallelic and cfg.bi_repr_active:
+        params = _to_bi_repr(params, cfg, I, L)
+    md = mesh_mod.shard_model_data(md.prepare_for_em(bi=biallelic), mesh)
+
+    def step(pp, mm):
+        new, ll, _ = admixture.em_step(pp, mm, cfg)
+        return new, ll
+
+    lowered = jax.jit(step, static_argnums=()).lower(params, md)
+    return lowered.compile().as_text(), params
+
+
+def main():
+    print(f"shape I={I} L={L} K={K} (Kp={k_padded_size(K, 32)}) "
+          f"mesh=({D},1) data-parallel")
+    for bi in (True, False):
+        hlo, params = compiled_step_hlo(bi)
+        vols = collective_bytes(hlo)
+        total = sum(vols.values())
+        label = "biallelic p0-repr" if bi else "generic (M=3)"
+        print(f"\n{label}: per-iteration collective payload")
+        for k, v in sorted(vols.items()):
+            print(f"  {k:20s} {v/1e6:10.3f} MB")
+        print(f"  {'TOTAL':20s} {total/1e6:10.3f} MB")
+        # analytic check: the dominant term should be the B psum
+        Kp = params.eta.shape[-1]
+        Lp = (params.p.shape[-1] if params.p.ndim == params.eta.ndim
+              else params.p.shape[-2] * params.p.shape[-1])
+        b_bytes = (2 if bi else 1) * Kp * Lp * 4
+        print(f"  analytic B psum     {b_bytes/1e6:10.3f} MB "
+              f"(constant in shard count)")
+    print("""
+Scaling model (BASELINE config 5: I=100k, L=500k, K=20, v5e):
+  per-iter compute   ~ I*L*2 cells / 200 Gcells/s / d  = 0.50 s / d
+  per-iter collective: ring all-reduce of B0+B1 = 2*32*500k*4 = 128 MB
+    -> 2(d-1)/d * 128 MB moved per chip; at ~50 GB/s effective
+       all-reduce bandwidth (v5e ICI) ~ 5 ms, constant in d
+  efficiency(d) = (0.50/d) / (0.50/d + 0.005)
+    d=4: 96%   d=8: 93%   d=16: 86%   d=25: 80% (the >=80% target
+    holds to ~25 chips; beyond that, shard L too - the model axis splits
+    the B psum into per-shard [Kp, L/m] reduce-scatters)""")
+
+
+if __name__ == "__main__":
+    main()

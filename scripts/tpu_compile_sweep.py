@@ -39,7 +39,7 @@ def _sds(shape, dtype):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss):
+def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False):
     Lp = (b_max // (Kp * 4)) // tl * tl
     if Lp == 0:
         return None
@@ -51,11 +51,11 @@ def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss):
         args.append(_sds((I, Lp), i8))
     kn.admixture_fullstep_biallelic.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
-        compute_t=compute_t, interpret=False).compile()
+        compute_t=compute_t, emit_b=emit_b, interpret=False).compile()
     return (I, Kp, Lp)
 
 
-def compile_bi_streamed(ti, tl, Kp, compute_t, with_miss):
+def compile_bi_streamed(ti, tl, Kp, compute_t, with_miss, emit_b=False):
     # VMEM pressure is Lp-independent (everything is tile-blocked); a
     # moderate Lp keeps the grid real without a huge HLO
     Lp = 16 * tl
@@ -67,7 +67,7 @@ def compile_bi_streamed(ti, tl, Kp, compute_t, with_miss):
         args.append(_sds((I, Lp), i8))
     kn.admixture_fullstep_biallelic_streamed.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
-        compute_t=compute_t, interpret=False).compile()
+        compute_t=compute_t, emit_b=emit_b, interpret=False).compile()
     return (I, Kp, Lp)
 
 
@@ -105,25 +105,32 @@ def main() -> int:
     if not args.generic_only:
         variants = [(True, True)] if args.fast else [
             (True, True), (True, False), (False, True), (False, False)]
+        # emit_b = the mesh variant (B0/B1 as outputs for the cross-shard
+        # psum, no in-kernel p update): same resident count, swept too
+        emits = (False, True)
         for ti, tl, b_max in kn._FULLSTEP_BI_TILES:
             for Kp in (32,):
                 for compute_t, with_miss in variants:
-                    tag = (f"bi ti={ti} tl={tl} cap={b_max//1024}K Kp={Kp} "
-                           f"t={int(compute_t)} miss={int(with_miss)}")
-                    t0 = time.time()
-                    try:
-                        shape = compile_bi(ti, tl, b_max, Kp, compute_t,
-                                           with_miss)
-                        if shape is None:
-                            print(f"SKIP {tag} (no admissible Lp)")
-                            continue
-                        n_ok += 1
-                        print(f"OK   {tag} shape={shape} "
-                              f"({time.time()-t0:.1f}s)")
-                    except Exception as e:  # noqa: BLE001
-                        failures.append(tag)
-                        print(f"FAIL {tag}: {type(e).__name__}: "
-                              f"{str(e)[:300]}", file=sys.stderr)
+                    for emit_b in (emits if compute_t and with_miss
+                                   else (False,)):
+                        tag = (f"bi ti={ti} tl={tl} cap={b_max//1024}K "
+                               f"Kp={Kp} t={int(compute_t)} "
+                               f"miss={int(with_miss)} eb={int(emit_b)}")
+                        t0 = time.time()
+                        try:
+                            shape = compile_bi(ti, tl, b_max, Kp,
+                                               compute_t, with_miss,
+                                               emit_b)
+                            if shape is None:
+                                print(f"SKIP {tag} (no admissible Lp)")
+                                continue
+                            n_ok += 1
+                            print(f"OK   {tag} shape={shape} "
+                                  f"({time.time()-t0:.1f}s)")
+                        except Exception as e:  # noqa: BLE001
+                            failures.append(tag)
+                            print(f"FAIL {tag}: {type(e).__name__}: "
+                                  f"{str(e)[:300]}", file=sys.stderr)
 
     if not args.generic_only:
         variants = [(True, True)] if args.fast else [
@@ -131,19 +138,23 @@ def main() -> int:
         for ti, tl in kn._FULLSTEP_BI_STREAM_TILES:
             for Kp in (32,):
                 for compute_t, with_miss in variants:
-                    tag = (f"bi-stream ti={ti} tl={tl} Kp={Kp} "
-                           f"t={int(compute_t)} miss={int(with_miss)}")
-                    t0 = time.time()
-                    try:
-                        shape = compile_bi_streamed(ti, tl, Kp, compute_t,
-                                                    with_miss)
-                        n_ok += 1
-                        print(f"OK   {tag} shape={shape} "
-                              f"({time.time()-t0:.1f}s)")
-                    except Exception as e:  # noqa: BLE001
-                        failures.append(tag)
-                        print(f"FAIL {tag}: {type(e).__name__}: "
-                              f"{str(e)[:300]}", file=sys.stderr)
+                    for emit_b in ((False, True)
+                                   if compute_t and with_miss
+                                   else (False,)):
+                        tag = (f"bi-stream ti={ti} tl={tl} Kp={Kp} "
+                               f"t={int(compute_t)} miss={int(with_miss)} "
+                               f"eb={int(emit_b)}")
+                        t0 = time.time()
+                        try:
+                            shape = compile_bi_streamed(
+                                ti, tl, Kp, compute_t, with_miss, emit_b)
+                            n_ok += 1
+                            print(f"OK   {tag} shape={shape} "
+                                  f"({time.time()-t0:.1f}s)")
+                        except Exception as e:  # noqa: BLE001
+                            failures.append(tag)
+                            print(f"FAIL {tag}: {type(e).__name__}: "
+                                  f"{str(e)[:300]}", file=sys.stderr)
 
     if not args.bi_only:
         variants_t = [True] if args.fast else [True, False]

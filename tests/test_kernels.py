@@ -488,3 +488,51 @@ def test_check_interval_adaptive_fit(setup, use_pallas):
     from multiclust_tpu.opt.em import ADAPTIVE_CAP
     assert r1.n_iter <= ra.n_iter <= r1.n_iter + ADAPTIVE_CAP, \
         (r1.n_iter, ra.n_iter)
+
+
+def test_bootstrap_lattice_bi_repr_matches_xla():
+    """Batched bootstrap replicate lattices on biallelic panels carry the
+    p0-representation (fused biallelic kernels under the replicate x init
+    vmap lattice) and produce the same test statistics as the XLA path."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.model.common import ModelData
+    from multiclust_tpu.stats import bootstrap as bs
+    import multiclust_tpu.runtime.multistart as ms
+
+    rng = np.random.default_rng(51)
+    I, L, K = 128, 40, 3
+    p_true = rng.choice([0.2, 0.8], size=(2, L))
+    eta_true = rng.dirichlet(np.full(2, 0.5), size=I)
+    x0 = rng.binomial(2, eta_true @ p_true)
+    counts = np.stack([x0, 2 - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    h0 = Params(eta=jnp.asarray(eta_true, jnp.float32),
+                p=jnp.asarray(np.stack([p_true, 1 - p_true], axis=2),
+                              jnp.float32))
+    base = dict(admixture=True, n_init=2, max_K=3, min_K=3, n_bootstrap=2,
+                n_rand_em_init=2)
+
+    orig = ms.cfg_from_options
+
+    def interp(opt, Kk, mdd=None):
+        return orig(opt, Kk, mdd)._replace(use_pallas="interpret")
+
+    opt_x = Options(**base, use_pallas=False).synchronize(I, 2)
+    ts_x = bs._batched_ts(jax.random.PRNGKey(9), md, opt_x, h0, 2, 2)
+
+    ms.cfg_from_options = interp
+    try:
+        opt_b = Options(**base, use_pallas=True).synchronize(I, 2)
+        assert interp(opt_b, 3, md).bi_repr_active
+        ts_b = bs._batched_ts(jax.random.PRNGKey(9), md, opt_b, h0, 2, 2)
+    finally:
+        ms.cfg_from_options = orig
+    assert ts_x.shape == ts_b.shape == (2,)
+    assert np.all(np.isfinite(ts_b))
+    # identical keys -> identical replicates/starts; kernels differ only
+    # in rounding, and the LRT statistic is a difference of converged
+    # max-logLs
+    np.testing.assert_allclose(ts_b, ts_x, atol=0.5)

@@ -137,7 +137,7 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     # relay rejects them with HTTP 413)
     @jax.jit
     def run(params, md):
-        md = md.prepare_for_em(bi=cfg.bi_repr_active)
+        md = md.prepare_for_em(bi=cfg.bi_repr_active or cfg.biallelic)
         def blind(_, p):
             new, _, _ = em_step(p, md, cfg, want_ll=False)
             return new

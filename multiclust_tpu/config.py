@@ -242,11 +242,13 @@ class Options:
 
         Returns ``(use_pallas, storage_dtype)``: the fused Pallas sweep
         kernels default on for f32 admixture fits on an accelerator
-        backend, and genotype counts are then stored int8 (counts never
-        exceed ploidy; the kernels cast tiles in VMEM so HBM reads are
-        1 byte/cell).  The XLA/CPU paths keep the compute dtype - an int8
-        count tensor there makes XLA materialize a full f32 cast per
-        iteration, which is slower.
+        backend.  Genotype counts are stored int8 on ANY accelerator f32
+        fit (counts never exceed ploidy): the Pallas kernels cast tiles
+        in VMEM, and on the XLA matmul paths (mixture, forced-off
+        Pallas) the TPU fuses the widening cast into the contraction -
+        measured +46% for the mixture model at the bench shape (HBM
+        reads drop 4x).  The CPU backend keeps the compute dtype, where
+        the materialized f32 cast per iteration is slower.
         """
         import jax
         import jax.numpy as jnp
@@ -256,7 +258,8 @@ class Options:
         if up is None:
             up = bool(on_accel and self.admixture and
                       self.dtype == "float32")
-        storage = jnp.int8 if up else None
+        storage = (jnp.int8 if (on_accel and self.dtype == "float32")
+                   else None)
         return up, storage
 
     @property

@@ -56,22 +56,48 @@ def write_file_detail(opt: Options, ds: Dataset, K: int, logL: float,
                 fp.write("%d\t%f\n" % (k, eta[k]))
             fp.write("\n")
     else:
-        with open(base + ".etaik.txt", "w") as fp:
-            fp.write("i\tk\tetaik\n")
-            for i in range(eta.shape[0]):
-                for k in range(K):
-                    fp.write("%d\t%d\t%f\n" % (i, k, eta[i, k]))
-            fp.write("\n")
+        I = eta.shape[0]
+        ik = np.stack([np.repeat(np.arange(I, dtype=np.int64), K),
+                       np.tile(np.arange(K, dtype=np.int64), I)], axis=1)
+        _write_big_table(base + ".etaik.txt", "i\tk\tetaik\n", ik,
+                         np.asarray(eta, np.float64).reshape(-1, 1))
 
+    # .pklm rows are jagged per locus (n_alleles + an extra slot 0 for
+    # missing loci, printed as 0.0 - see module docstring); build the
+    # (k, l, m, value) columns vectorized, then bulk-write
     has_missing = ds.has_missing_slot
-    with open(base + ".pklm.txt", "w") as fp:
-        fp.write("k\tl\tm\tKLM\n")
-        for k in range(K):
-            for l in range(ds.L):
-                m_start = int(has_missing[l])
-                for m in range(ds.n_alleles[l] + m_start):
-                    val = 0.0 if m < m_start else p[k, l, m - m_start]
-                    fp.write("%d\t%d\t%d\t%f\n" % (k, l, m, val))
+    rows_l = (np.asarray(ds.n_alleles, np.int64)
+              + np.asarray(has_missing, np.int64))     # [L]
+    per_k = int(rows_l.sum())
+    l_idx = np.repeat(np.arange(ds.L, dtype=np.int64), rows_l)
+    starts = np.repeat(np.cumsum(rows_l) - rows_l, rows_l)
+    m_idx = np.arange(per_k, dtype=np.int64) - starts
+    m_start = np.asarray(has_missing, np.int64)[l_idx]
+    obs = m_idx >= m_start
+    slot = np.where(obs, m_idx - m_start, 0)
+    k_col = np.repeat(np.arange(K, dtype=np.int64), per_k)
+    klm = np.stack([k_col, np.tile(l_idx, K), np.tile(m_idx, K)], axis=1)
+    vals = np.where(obs[None, :],
+                    np.asarray(p, np.float64)[:, l_idx, slot],
+                    0.0).reshape(-1, 1)
+    _write_big_table(base + ".pklm.txt", "k\tl\tm\tKLM\n", klm, vals)
+
+
+def _write_big_table(path: str, header: str, ints: np.ndarray,
+                     floats: np.ndarray) -> None:
+    """Bulk table write: native C++ writer when available (~30x faster -
+    the engine rewrites these files on every best-so-far improvement,
+    multiclust.c:584-600), byte-identical Python fallback otherwise."""
+    from multiclust_tpu.io import fastwrite
+    if fastwrite.available():
+        fastwrite.write_table(path, header, "\n", ints, floats)
+        return
+    fmt = "\t".join(["%d"] * ints.shape[1]
+                    + ["%f"] * floats.shape[1]) + "\n"
+    with open(path, "w") as fp:
+        fp.write(header)
+        for iv, fv in zip(ints, floats):
+            fp.write(fmt % (*iv, *fv))
         fp.write("\n")
 
 

@@ -151,6 +151,10 @@ class EMConfig(NamedTuple):
     # p1 = 1 - p0 (half the denominator/A work, p update fully on-chip).
     # Static, derived from the dataset by the caller like has_missing.
     biallelic: bool = False
+    # dataset ploidy (allele copies per (i, l)); static so the biallelic
+    # missing-free mixture fast path can fold the complement-allele matmul
+    # into a per-cluster constant (model/mixture.py)
+    ploidy: int = 2
     # True number of clusters when the parameters carry K-padded rows/lanes
     # (pad entries zero, kept zero by masked projections).  The Pallas path
     # wants eta [I, 128k] and p [128k, L, M] so no per-iteration lane

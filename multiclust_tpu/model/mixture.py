@@ -36,6 +36,23 @@ def scores(params: Params, md: ModelData) -> Array:
     return s + safe_log(params.eta)[None, :]
 
 
+def _scores_bi(params: Params, md: ModelData, ploidy: int) -> Array:
+    """Biallelic missing-free scores in ONE [I, L] x [L, K] matmul:
+    with x1 = ploidy - x0,
+        sum_lm x_ilm log p_klm = x0 @ (log p0 - log p1)^T
+                                 + ploidy * sum_l log p1_kl
+    - half the contraction width and half the genotype stream of the
+    generic path.  Requires every (i, l) to carry exactly ``ploidy``
+    observed copies (cfg.biallelic and not cfg.has_missing)."""
+    logp = safe_log(params.p, md.mask[None])          # [K, L, 2]
+    d = (logp[:, :, 0] - logp[:, :, 1]).T             # [L, K]
+    base = ploidy * jnp.sum(logp[:, :, 1], axis=1)    # [K]
+    x0 = (md.x_bi[0] if md.x_bi is not None
+          else md.x[:, :, 0]).astype(md.dtype)
+    s = x0 @ d                                        # MXU
+    return s + (base + safe_log(params.eta))[None, :]
+
+
 def _posterior_and_ll(s: Array, row_valid=None):
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
@@ -57,32 +74,66 @@ def e_step(params: Params, md: ModelData):
     return _posterior_and_ll(scores(params, md), md.row_valid)
 
 
-def log_likelihood(params: Params, md: ModelData):
+def log_likelihood(params: Params, md: ModelData, cfg: EMConfig = None):
     """df64 logL (logL_mixture) without materializing the posterior."""
-    _, ll, scale = _posterior_and_ll(scores(params, md), md.row_valid)
+    s = (_scores_bi(params, md, cfg.ploidy)
+         if cfg is not None and _bi_fast(md, cfg) else scores(params, md))
+    _, ll, scale = _posterior_and_ll(s, md.row_valid)
     return ll, scale
 
 
-def m_step(v: Array, md: ModelData, cfg: EMConfig) -> Params:
-    """Parameter update given posteriors (m_step_mixture)."""
-    dtype = v.dtype
-    eta = jnp.sum(v, axis=0)
-    eta = eta / jnp.sum(eta)
-    if cfg.do_projection:
-        eta = project_rows(eta, jnp.ones_like(eta, dtype=bool),
-                           eta.shape[0], cfg.eta_lower_bound)
-
-    K = v.shape[1]
-    mask2 = md.mask.reshape(-1)                       # [LM]
-    pc = v.T @ md.x2d                                 # [K, LM], MXU
-    pc = pc + jnp.where(mask2, jnp.asarray(cfg.p_lower_bound, dtype), 0.0)
-    pc = pc.reshape(K, md.L, md.M)
+def _finish_p(pc: Array, md: ModelData, cfg: EMConfig, dtype) -> Array:
+    pc = pc + jnp.where(md.mask[None], jnp.asarray(cfg.p_lower_bound,
+                                                   dtype), 0.0)
     tot = jnp.sum(pc, axis=2, keepdims=True)
     p = jnp.where(md.mask[None], pc / tot, 0.0)
     if cfg.do_projection:
         p = project_rows(p, md.mask[None], md.n_alleles[None, :],
                          cfg.p_lower_bound)
-    return Params(eta=eta, p=p)
+    return p
+
+
+def _finish_eta(v: Array, cfg: EMConfig) -> Array:
+    eta = jnp.sum(v, axis=0)
+    eta = eta / jnp.sum(eta)
+    if cfg.do_projection:
+        eta = project_rows(eta, jnp.ones_like(eta, dtype=bool),
+                           eta.shape[0], cfg.eta_lower_bound)
+    return eta
+
+
+def m_step(v: Array, md: ModelData, cfg: EMConfig) -> Params:
+    """Parameter update given posteriors (m_step_mixture)."""
+    dtype = v.dtype
+    eta = _finish_eta(v, cfg)
+    K = v.shape[1]
+    pc = (v.T @ md.x2d).reshape(K, md.L, md.M)        # [K, LM], MXU
+    return Params(eta=eta, p=_finish_p(pc, md, cfg, dtype))
+
+
+def _m_step_bi(v: Array, md: ModelData, cfg: EMConfig) -> Params:
+    """Biallelic missing-free M-step in ONE matmul: with
+    x1 = ploidy - x0, the complement expected counts are
+    pc1_kl = ploidy * (sum_i v_ik) - pc0_kl - no second contraction and
+    no x1 stream.  Zero rows (mesh padding, masked by row_valid in the
+    E-step) contribute to neither side."""
+    dtype = v.dtype
+    eta = _finish_eta(v, cfg)
+    x0 = (md.x_bi[0] if md.x_bi is not None
+          else md.x[:, :, 0]).astype(md.dtype)
+    pc0 = v.T @ x0                                    # [K, L], MXU
+    vtot = jnp.sum(v, axis=0)                         # [K]
+    pc1 = cfg.ploidy * vtot[:, None] - pc0
+    pc = jnp.stack([pc0, pc1], axis=-1)               # [K, L, 2]
+    return Params(eta=eta, p=_finish_p(pc, md, cfg, dtype))
+
+
+def _bi_fast(md: ModelData, cfg: EMConfig) -> bool:
+    """Static gate for the single-matmul biallelic path: every locus has
+    exactly 2 valid alleles and every copy is observed, so
+    x1 = ploidy - x0 identically (mesh padding rows are excluded by
+    row_valid before the M-step)."""
+    return (cfg.biallelic and not cfg.has_missing and md.M == 2)
 
 
 def em_step(params: Params, md: ModelData,
@@ -92,6 +143,10 @@ def em_step(params: Params, md: ModelData,
     As in the reference (em_step, em_alg.c:195-207) the returned logL is the
     likelihood of the INPUT parameters ("one step late").
     """
+    if _bi_fast(md, cfg):
+        v, ll, scale = _posterior_and_ll(
+            _scores_bi(params, md, cfg.ploidy), md.row_valid)
+        return _m_step_bi(v, md, cfg), ll, scale, v
     v, ll, scale = e_step(params, md)
     new = m_step(v, md, cfg)
     return new, ll, scale, v

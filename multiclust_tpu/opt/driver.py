@@ -69,7 +69,7 @@ def fit(params0: Params, md: ModelData, cfg: EMConfig, *,
     """Run one EM chain to convergence, host-orchestrated."""
     plain, plain_chk, collect, macro, k1 = _jitted_steps(cfg)
     t0 = time.time() if start_time is None else start_time
-    md = md.prepare_for_em(bi=cfg.bi_repr_active)  # hoist x aliases once
+    md = md.prepare_for_em(bi=cfg.bi_repr_active or cfg.biallelic)  # hoist x aliases once
 
     if params0.K == 1:
         state = k1(params0, md)
@@ -135,7 +135,7 @@ def make_compiled_fit(cfg: EMConfig, max_iter_cap: int = 100_000):
     cap = cfg.max_iter if cfg.max_iter else max_iter_cap
 
     def fit_fn(params0: Params, md: ModelData) -> em_mod.EMState:
-        md = md.prepare_for_em(bi=cfg.bi_repr_active)  # hoist x aliases
+        md = md.prepare_for_em(bi=cfg.bi_repr_active or cfg.biallelic)  # hoist x aliases
         state = em_mod.init_state(params0, cfg)
 
         if cfg.n_init_iter:

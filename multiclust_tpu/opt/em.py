@@ -134,7 +134,7 @@ def model_log_likelihood(params: Params, md: ModelData, cfg: EMConfig):
         if cfg.bi_repr_active and is_bi_repr(params):
             return admixture.log_likelihood_bi_repr(params, md)
         return admixture.log_likelihood(params, md)
-    return mixture.log_likelihood(params, md)
+    return mixture.log_likelihood(params, md, cfg)
 
 
 # ---------------------------------------------------------------------------

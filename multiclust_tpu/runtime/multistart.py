@@ -64,7 +64,7 @@ def cfg_from_options(opt: Options, K: int,
         monotonicity=opt.resolved_monotonicity(),
         use_pallas="on" if use_pallas else "off",
         has_missing=has_missing, biallelic=biallelic, k_true=k_true,
-        check_interval=opt.check_interval, mesh=mesh)
+        ploidy=opt.ploidy, check_interval=opt.check_interval, mesh=mesh)
 
 
 def _pad_k(params: Params, cfg: EMConfig,
@@ -257,7 +257,7 @@ def _batch_fns(cfg: EMConfig, segment: int):
         Ip = _row_pad_target(md.I, cfg)
         if Ip:
             md = _pad_md_rows(md, Ip)
-        return md.prepare_for_em(bi=cfg.bi_repr_active)
+        return md.prepare_for_em(bi=cfg.bi_repr_active or cfg.biallelic)
 
     def prologue_one(state, md):
         md = prep(md)
@@ -332,15 +332,38 @@ def fit_batch(params_b: Params, md: ModelData, cfg: EMConfig, *,
     return state, timed_out
 
 
+def _mesh_place_chain_batch(pb: Params, cfg: EMConfig,
+                            md_fit: ModelData) -> Params:
+    """Pad a fresh chain batch to the fit shape, convert to the kernel
+    representation, and place it on the mesh with its final shardings -
+    all OUTSIDE the sharded jitted functions.  Letting GSPMD re-shard
+    freshly-initialized batches inside mk_state/refill triggers
+    involuntary full rematerialization of the concatenate/broadcast pads
+    (the round-2 dryrun warnings); the jitted padding helpers are no-ops
+    on already-padded params."""
+    if cfg.mesh is None or cfg.eta_is_vector:
+        return pb
+    from multiclust_tpu.runtime.mesh import shard_chain_params
+    Ip = _row_pad_target(md_fit.I, cfg) or md_fit.I
+    pb = _pad_params_rows(pb, Ip, cfg)
+    pb = _pad_params_loci(pb, md_fit.L)
+    pb = _to_bi_repr(pb, cfg, Ip, md_fit.L)
+    return shard_chain_params(pb, cfg.mesh)
+
+
 def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
                       opt: Options, codes, warm: Optional[Params],
-                      md_score: Optional[ModelData] = None):
+                      md_score: Optional[ModelData] = None,
+                      md_fit: Optional[ModelData] = None):
     if warm is not None:
         # -Q/-P warm start: every init identical (initialize_model,
         # rnd_init.c:74-76)
         warm = _pad_k(warm, cfg, md)
-        return tree_map(lambda x: jnp.broadcast_to(x[None], (1,) + x.shape),
-                        warm), 1
+        pb = tree_map(lambda x: jnp.broadcast_to(x[None], (1,) + x.shape),
+                      warm)
+        if md_fit is not None:
+            pb = _mesh_place_chain_batch(pb, cfg, md_fit)
+        return pb, 1
 
     B = opt.batch_chains or min(max(opt.n_init, 1), 8)
     keys = jax.random.split(key, B)
@@ -350,7 +373,10 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
         procedure=opt.initialization_procedure,
         n_rand_em_init=opt.n_rand_em_init, codes=codes,
         md_score=md_score)
-    return _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg, md), B
+    pb = _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg, md)
+    if md_fit is not None:
+        pb = _mesh_place_chain_batch(pb, cfg, md_fit)
+    return pb, B
 
 
 
@@ -459,22 +485,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
             n_rand_em_init=opt.n_rand_em_init, codes=codes,
             md_score=md_score)
         pb = _pad_k(jax.vmap(init_fn)(keys), cfg, md_fit)
-        if cfg.mesh is not None and not cfg.eta_is_vector:
-            # pad rows/loci and convert to the kernel representation HERE
-            # (outside the sharded jitted functions), then place the chain
-            # batch on the mesh with its final shardings via device_put:
-            # letting GSPMD re-shard the freshly-initialized batch inside
-            # mk_state/refill triggers involuntary full rematerialization
-            # of the concatenate/broadcast pads (spmd_partitioner warnings
-            # in the round-2 dryrun); init_one's padding helpers are
-            # no-ops on already-padded params
-            from multiclust_tpu.runtime.mesh import shard_chain_params
-            Ip = _row_pad_target(md_fit.I, cfg) or md_fit.I
-            pb = _pad_params_rows(pb, Ip, cfg)
-            pb = _pad_params_loci(pb, md_fit.L)
-            pb = _to_bi_repr(pb, cfg, Ip, md_fit.L)
-            pb = shard_chain_params(pb, cfg.mesh)
-        return pb
+        return _mesh_place_chain_batch(pb, cfg, md_fit)
 
     key, sub = jax.random.split(key)
     state = mk_state(make_inits(sub, B), md_fit)
@@ -660,7 +671,8 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 md_score=md_score)
         else:
             params_b, B = _initialize_batch(sub, md, K, cfg, opt, codes,
-                                            warm, md_score=md_score)
+                                            warm, md_score=md_score,
+                                            md_fit=md_fit)
             states, timed_out = fit_batch(
                 params_b, md_fit, cfg, n_seconds=opt.n_seconds,
                 start_time=t0)

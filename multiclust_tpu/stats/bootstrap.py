@@ -97,7 +97,7 @@ def _fit_lattice(params_rb: Params, md_b: ModelData, cfg, segment: int = 16):
     body = (em_mod.accel_macro_step if accel else em_mod.plain_step)
 
     def start_one(params, md):
-        md = md.prepare_for_em(bi=cfg.bi_repr_active)
+        md = md.prepare_for_em(bi=cfg.bi_repr_active or cfg.biallelic)
         state = em_mod.init_state(params, cfg)
         for _ in range(cfg.n_init_iter):
             state = em_mod.plain_step(state, md, cfg)
@@ -107,7 +107,7 @@ def _fit_lattice(params_rb: Params, md_b: ModelData, cfg, segment: int = 16):
         return state
 
     def seg_one(state, md):
-        md = md.prepare_for_em(bi=cfg.bi_repr_active)
+        md = md.prepare_for_em(bi=cfg.bi_repr_active or cfg.biallelic)
         return jax.lax.fori_loop(
             0, segment, lambda i, s: body(s, md, cfg), state)
 

@@ -134,3 +134,54 @@ def test_impute_outfile_cli(tmp_path, rng):
     assert rc == 0
     ds2 = read_structure(str(imputed), Options(ploidy=2))
     assert not ds2.missing_data
+
+
+def test_write_file_detail_bulk_matches_loop(tmp_path, rng):
+    """The vectorized/native bulk writers for .etaik/.pklm reproduce the
+    original per-value loop byte-for-byte, including jagged loci and the
+    missing slot-0 rows (write_file_detail, write_file.c:203-335)."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.io import writers
+    from multiclust_tpu.stats.sim import random_model, \
+        simulate_admixture_fast
+
+    K = 3
+    Q, P = random_model(rng, K, 25, 4, I=30)
+    ds = simulate_admixture_fast(rng, Q, P, ploidy=2, missing_rate=0.15)
+    eta = rng.dirichlet(np.full(K, 2.0), size=ds.I)
+    p = rng.random((K, ds.L, ds.M))
+    p = np.where(ds.mask[None], p, 0.0)
+    p = p / np.maximum(p.sum(axis=2, keepdims=True), 1e-9)
+    count_K = np.array([10, 12, 8])
+
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    out_a.mkdir(), out_b.mkdir()
+    opt_a = Options(filename="x.str", path=str(out_a), admixture=True)
+    opt_b = Options(filename="x.str", path=str(out_b), admixture=True)
+    writers.write_file_detail(opt_a, ds, K, -123.4, True, 1.0, 2.0,
+                              count_K, eta, p)
+
+    # reference implementation: the original per-value loops
+    base = f"{out_b}/x.str.admix.K={K}"
+    with open(base + ".etaik.txt", "w") as fp:
+        fp.write("i\tk\tetaik\n")
+        for i in range(eta.shape[0]):
+            for k in range(K):
+                fp.write("%d\t%d\t%f\n" % (i, k, eta[i, k]))
+        fp.write("\n")
+    has_missing = ds.has_missing_slot
+    with open(base + ".pklm.txt", "w") as fp:
+        fp.write("k\tl\tm\tKLM\n")
+        for k in range(K):
+            for l in range(ds.L):
+                m_start = int(has_missing[l])
+                for m in range(ds.n_alleles[l] + m_start):
+                    val = 0.0 if m < m_start else p[k, l, m - m_start]
+                    fp.write("%d\t%d\t%d\t%f\n" % (k, l, m, val))
+        fp.write("\n")
+
+    for suffix in (".etaik.txt", ".pklm.txt"):
+        a = (out_a / f"x.str.admix.K={K}{suffix}").read_bytes()
+        b = (out_b / f"x.str.admix.K={K}{suffix}").read_bytes()
+        assert a == b, f"{suffix} diverged"

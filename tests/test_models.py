@@ -284,3 +284,55 @@ class TestBacktracking:
         # guarded accept keeps the chain monotone despite the bad trial
         assert float(out.logL_hi + out.logL_lo) >= \
             float(state.logL_hi + state.logL_lo) - 1e-6
+
+
+def test_mixture_biallelic_fast_path_matches_generic(rng):
+    """The single-matmul biallelic mixture path (x1 = ploidy - x0 folded
+    into per-cluster constants, model/mixture._scores_bi/_m_step_bi)
+    reproduces the generic path exactly on missing-free SNP data,
+    including mesh-style padded rows/loci."""
+    import jax.numpy as jnp
+
+    from multiclust_tpu.model import mixture
+    from multiclust_tpu.model.common import EMConfig, ModelData, Params
+
+    I, L, K = 40, 30, 3
+    x0 = rng.integers(0, 3, size=(I, L))
+    counts = np.stack([x0, 2 - x0], axis=2)
+    # pad 3 rows (row_valid) and 2 masked loci, as the mesh padding does
+    Ip, Lp = I + 3, L + 2
+    c = np.zeros((Ip, Lp, 2), np.int64)
+    c[:I, :L] = counts
+    md = ModelData(
+        x=jnp.asarray(c, jnp.float64),
+        miss=jnp.zeros((Ip, Lp), jnp.float64),
+        mask=jnp.asarray(np.arange(Lp)[:, None] < L).repeat(2, axis=1),
+        n_alleles=jnp.asarray(np.where(np.arange(Lp) < L, 2, 0),
+                              jnp.int32),
+        row_valid=jnp.asarray(np.arange(Ip) < I)).prepare_for_em(bi=True)
+    eta = rng.dirichlet(np.full(K, 2.0))
+    p0 = rng.uniform(0.2, 0.8, size=(K, L))
+    p = np.zeros((K, Lp, 2))
+    p[:, :L, 0], p[:, :L, 1] = p0, 1 - p0
+    params = Params(eta=jnp.asarray(eta, jnp.float64),
+                    p=jnp.asarray(p, jnp.float64))
+
+    cfg_gen = EMConfig(admixture=False, has_missing=False, biallelic=False)
+    cfg_bi = cfg_gen._replace(biallelic=True)
+    ref, bi = params, params
+    for _ in range(4):
+        ref, ll_r, _, _ = mixture.em_step(ref, md, cfg_gen)
+        bi, ll_b, _, _ = mixture.em_step(bi, md, cfg_bi)
+        np.testing.assert_allclose(np.asarray(bi.eta), np.asarray(ref.eta),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(bi.p), np.asarray(ref.p),
+                                   rtol=1e-12, atol=1e-14)
+        from multiclust_tpu.ops import df64
+        assert abs(float(df64.df_value(ll_b))
+                   - float(df64.df_value(ll_r))) < 1e-8
+    # log_likelihood takes the same fast path
+    ll_fast, _ = mixture.log_likelihood(bi, md, cfg_bi)
+    ll_gen, _ = mixture.log_likelihood(bi, md)
+    from multiclust_tpu.ops import df64
+    assert abs(float(df64.df_value(ll_fast))
+               - float(df64.df_value(ll_gen))) < 1e-8

@@ -384,3 +384,35 @@ def test_padded_rows_are_inert(data):
                                    np.asarray(new_r.p), atol=1e-12)
         assert abs(float(df64.df_value(ll_p))
                    - float(df64.df_value(ll_r))) < 1e-9
+
+
+def test_dryrun_no_involuntary_rematerialization():
+    """The multi-chip dryrun (production engine on the 8-device mesh,
+    incl. the biallelic p0-representation segment) must compile WITHOUT
+    XLA SPMD 'Involuntary full rematerialization' warnings - the round-2
+    regression where GSPMD replicated freshly-initialized chain batches
+    (fixed by host-side padding + explicit mesh placement in
+    runtime/multistart._mesh_place_chain_batch).  Run as a subprocess so
+    the partitioner's C++ stderr is capturable."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('DRYRUN_OK')\n")
+    import os as _os
+    env = dict(_os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env.pop("JAX_ENABLE_X64", None)
+    out = subprocess.run([_sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=900,
+                         env=env,
+                         cwd=_os.path.dirname(_os.path.dirname(
+                             _os.path.abspath(__file__))))
+    assert "DRYRUN_OK" in out.stdout, out.stderr[-2000:]
+    assert "Involuntary full rematerialization" not in out.stderr, \
+        out.stderr[-3000:]

@@ -53,7 +53,8 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     # into the B matmuls in-kernel (em_alg.c:400-431)
     miss_rate = float(os.environ.get("BENCH_MISSING", "0"))
     # mirror the engine's device policy (config.Options.device_policy):
-    # Pallas path stores genotype counts int8
+    # int8 genotype storage on every accelerator f32 fit (the XLA paths
+    # fuse the widening cast into the matmuls)
     cfg = EMConfig(admixture=True,
                    use_pallas="on" if use_pallas else "off",
                    has_missing=miss_rate > 0, biallelic=biallelic,
@@ -61,7 +62,7 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     ploidy = 2
-    storage = jnp.int8 if use_pallas else jnp.float32
+    storage = jnp.int8
     miss = None
     if M == 2:
         # biobank-capable generation: chunk the bernoulli draws over rows
@@ -69,6 +70,8 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
         # int32 draws costs 2 x I*L bytes PER PLOIDY in f32 - 32 GB at the
         # large config - and OOMs 16 GB HBM before the fit even starts)
         rows = max(1, min(I, (1 << 29) // max(L, 1)))
+        if miss_rate > 0:
+            rows = max(1, rows // 2)  # two uniform draws live per chunk
         chunks = []
         miss_chunks = []
         kk = k1
@@ -101,12 +104,11 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
             counts = counts + jax.nn.one_hot(draws[:, :, a], M,
                                              dtype=jnp.float32)
         counts = counts.astype(storage)
-    # without BENCH_MISSING miss is statically unused (has_missing=False);
-    # int8 zeros keep the large config inside HBM (an f32 [65k, 33k] miss
-    # alone is 8.6 GB).  With missing, miss carries the compute dtype per
-    # the ModelData contract (the int8 kernel stream is the miss_st alias).
+    # miss stays int8 (production storage mode, model/common.ModelData
+    # .dtype): a compute-dtype miss alone is 4.3 GB at the large config
+    # and 200 GB at true biobank scale; every consumer casts fused
     md = ModelData(x=counts,
-                   miss=(miss.astype(jnp.float32) if miss is not None
+                   miss=(miss if miss is not None
                          else jnp.zeros((I, L), jnp.int8)),
                    mask=jnp.ones((L, M), bool),
                    n_alleles=jnp.full((L,), M, jnp.int32))

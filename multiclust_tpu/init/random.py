@@ -43,17 +43,18 @@ def random_individual_center(key, md: ModelData, K: int) -> Array:
         return jnp.zeros((md.I,), jnp.int32)
     centers = jax.random.choice(key, md.I, (K,), replace=False)
     x = md.x.astype(md.dtype)
+    missf = md.miss.astype(md.dtype)        # miss may be int8 storage
     xc = x[centers]                         # [K, L, M]
-    missc = md.miss[centers]                # [K, L]
+    missc = missf[centers]                  # [K, L]
     # dist[i,k] = sum_lm |x_i - x_c|  - sum_l |miss_i - miss_c| / n_alleles
     # chunked over K to bound the broadcast
     denom = jnp.maximum(md.n_alleles.astype(md.dtype), 1.0)
-    has_miss = md.miss.max(axis=0) > 0      # [L] locus has missing slot
+    has_miss = missf.max(axis=0) > 0        # [L] locus has missing slot
 
     def dist_k(k):
         d = jnp.abs(x - xc[k][None]).sum(axis=(1, 2))
         corr = jnp.where(has_miss[None],
-                         jnp.abs(md.miss - missc[k][None]) / denom[None],
+                         jnp.abs(missf - missc[k][None]) / denom[None],
                          0.0).sum(axis=1)
         return d - corr
 

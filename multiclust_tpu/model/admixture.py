@@ -113,7 +113,7 @@ def _bi_miss_inputs(md, cfg, Lp: int, dtype):
     sees 1 byte/cell; pads (loop-invariant, hoisted) are zero = inert."""
     if not cfg.has_missing:
         return jnp.zeros((md.I, 1), dtype), None
-    c = jnp.sum(md.miss, axis=1, keepdims=True).astype(dtype)
+    c = jnp.sum(md.miss.astype(dtype), axis=1, keepdims=True)
     miss = md.miss_st if md.miss_st is not None else md.miss
     dL = Lp - md.L
     if dL:
@@ -274,7 +274,8 @@ def _sharded_fullstep(params, md, cfg, p2, x2, interpret, want_ll=True):
     if LMp != LM:
         x2 = jnp.pad(x2, ((0, 0), (0, LMp - LM)))
         p2 = jnp.pad(p2, ((0, 0), (0, LMp - LM)))
-    c = (jnp.sum(md.miss, axis=1, keepdims=True) if cfg.has_missing
+    c = (jnp.sum(md.miss.astype(params.eta.dtype), axis=1,
+                 keepdims=True) if cfg.has_missing
          else jnp.zeros((md.I, 1), params.eta.dtype))
 
     def local_step(eta_l, p2_g, x2_l, c_l):
@@ -354,7 +355,7 @@ def _em_step_unconstrained(params, md, cfg, want_ll=True):
     # eta update: sum_lm d_iklm = eta_ik (A_ik + c_i)
     A = w @ p2.T                                      # [I, K]  (MXU)
     if cfg.has_missing:
-        A = A + jnp.sum(md.miss, axis=1, keepdims=True)
+        A = A + jnp.sum(md.miss.astype(A.dtype), axis=1, keepdims=True)
     eta_num = eta * A
     tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
     # padding rows (zero counts, zero missing) have zero mass; keep their
@@ -367,7 +368,7 @@ def _em_step_unconstrained(params, md, cfg, want_ll=True):
     # p update: sum_i d_iklm = p_klm (B_klm + C_kl)
     B = (eta.T @ w).reshape(K, md.L, md.M)            # [K, LM] (MXU)
     if cfg.has_missing:
-        C = eta.T @ md.miss                           # [K, L]  (MXU)
+        C = eta.T @ md.miss.astype(eta.dtype)         # [K, L]  (MXU)
         B = B + C[:, :, None]
     pc = p * B
     p_new = _normalize_p(pc, md, cfg)
@@ -422,7 +423,8 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
         if LMp != LM:  # x2 is loop-invariant: XLA hoists this pad
             x2 = jnp.pad(x2, ((0, 0), (0, LMp - LM)))
             p2 = jnp.pad(p2, ((0, 0), (0, LMp - LM)))
-        c = (jnp.sum(md.miss, axis=1, keepdims=True) if cfg.has_missing
+        c = (jnp.sum(md.miss.astype(params.eta.dtype), axis=1,
+                 keepdims=True) if cfg.has_missing
              else jnp.zeros((md.I, 1), eta.dtype))
         eta_new, per_i, B = admixture_fullstep(
             eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
@@ -442,7 +444,7 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
         per_i = t_p[:I]
 
         if cfg.has_missing:
-            A = A + jnp.sum(md.miss, axis=1, keepdims=True)
+            A = A + jnp.sum(md.miss.astype(A.dtype), axis=1, keepdims=True)
         eta_num = eta * A
         tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
         eta_new = jnp.where(tot_eta > 0,
@@ -456,7 +458,7 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
 
     B = B.reshape(K, md.L, md.M)
     if cfg.has_missing:
-        C = eta.T @ md.miss
+        C = eta.T @ md.miss.astype(eta.dtype)
         B = B + C[:, :, None]
     pc = p * B
     p_new = _normalize_p(pc, md, cfg)
@@ -527,7 +529,7 @@ def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
             return _em_step_unconstrained(params, md, cfg, want_ll)
         A, per_i, B = out
         if cfg.has_missing:
-            A = A + jnp.sum(md.miss, axis=1, keepdims=True)
+            A = A + jnp.sum(md.miss.astype(A.dtype), axis=1, keepdims=True)
         eta_num = eta * A
         tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
         eta_new = jnp.where(tot_eta > 0,
@@ -541,7 +543,7 @@ def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
 
     B = B.reshape(K, md.L, md.M)
     if cfg.has_missing:
-        C = eta.T @ md.miss
+        C = eta.T @ md.miss.astype(eta.dtype)
         B = B + C[:, :, None]
     pc = p * B
     p_new = _normalize_p(pc, md, cfg)
@@ -553,7 +555,7 @@ def _em_step_constrained(params, md, cfg):
     K = params.K
     p2 = p.reshape(K, -1)
     colx = jnp.sum(md.x2d, axis=0)                    # [LM] (hoistable)
-    msum = jnp.sum(md.miss, axis=0)                   # [L]
+    msum = jnp.sum(md.miss.astype(md.dtype), axis=0)  # [L]
 
     denom = eta @ p2                                  # [LM]
     t = jnp.where(colx > 0, colx * safe_log(denom), 0.0)
@@ -604,7 +606,7 @@ def posterior_allele_mass(params: Params, md: ModelData) -> Array:
     denom = eta @ p2
     w = _safe_div(md.x2d, denom)
     A = w @ p2.T
-    c = jnp.sum(md.miss, axis=1, keepdims=True)
+    c = jnp.sum(md.miss.astype(md.dtype), axis=1, keepdims=True)
     return eta * (A + c)
 
 
@@ -619,5 +621,5 @@ def responsibilities_dense(params: Params, md: ModelData) -> Array:
     x = md.x.astype(md.dtype)
     d = jnp.where(x[:, None] > 0,
                   x[:, None] * num / jnp.where(denom > 0, denom, 1.0), 0.0)
-    d = d + num * md.miss[:, None, :, None]
+    d = d + num * md.miss.astype(md.dtype)[:, None, :, None]
     return jnp.where(md.mask[None, None], d, 0.0)

@@ -38,8 +38,9 @@ class ModelData(NamedTuple):
     zero counts and zero missing contribute nothing to any reduction).
     """
 
-    x: Array          # [I, L, M] observed counts, compute dtype
-    miss: Array       # [I, L] missing-copy counts, compute dtype
+    x: Array          # [I, L, M] observed counts (compute dtype, or int8
+                      # storage on accelerators)
+    miss: Array       # [I, L] missing-copy counts (same dtype options)
     mask: Array       # [L, M] bool valid allele lanes
     n_alleles: Array  # [L] int32 valid lanes per locus
     row_valid: Optional[Array] = None  # [I] bool or None
@@ -78,22 +79,31 @@ class ModelData(NamedTuple):
 
     @property
     def dtype(self):
-        """Compute dtype (miss always carries it; x may be int8)."""
-        return self.miss.dtype
+        """Compute dtype.  miss carries it on the CPU/f64 paths; in the
+        accelerator storage mode BOTH x and miss may be int8 (a compute-
+        dtype miss is 200 GB at 100k x 500k), and the compute dtype is
+        f32 - the only configuration that stores int8.  Consumers must
+        cast miss before any reduction (int8 sums overflow at counts
+        > 127); casts fused into matmuls/reductions never materialize."""
+        if jnp.issubdtype(self.miss.dtype, jnp.floating):
+            return self.miss.dtype
+        if jnp.issubdtype(self.x.dtype, jnp.floating):
+            return self.x.dtype
+        return jnp.float32
 
     @property
     def x2d(self) -> Array:
         """[I, LM] counts in the compute dtype.
 
         ``x`` may be stored as int8 (4x less HBM - counts never exceed
-        ploidy); the cast happens here and XLA fuses or materializes it per
-        consumer.  The compute dtype is taken from ``miss``.
+        ploidy); the cast happens here and XLA fuses or materializes it
+        per consumer.
         """
         x = self.x_flat
         if x is None:
             x = self.x.reshape(self.I, self.L * self.M)
-        if x.dtype != self.miss.dtype:
-            x = x.astype(self.miss.dtype)
+        if x.dtype != self.dtype:
+            x = x.astype(self.dtype)
         return x
 
     @property
@@ -221,9 +231,15 @@ def model_data_from_dataset(ds, dtype=jnp.float32, device=None,
     ``storage_dtype=jnp.int8`` keeps the count tensor 4x smaller in HBM
     (counts never exceed ploidy); ``ModelData.x2d`` casts on use.
     """
+    # miss joins the int8 storage mode only when the compute dtype is
+    # f32 (the accelerator configuration - see ModelData.dtype); for any
+    # other compute dtype miss stays its carrier
+    miss_dtype = (storage_dtype if (storage_dtype is not None
+                                    and jnp.dtype(dtype) == jnp.float32)
+                  else dtype)
     md = ModelData(
         x=jnp.asarray(ds.counts, dtype=storage_dtype or dtype),
-        miss=jnp.asarray(ds.miss, dtype=dtype),
+        miss=jnp.asarray(ds.miss, dtype=miss_dtype),
         mask=jnp.asarray(ds.mask),
         n_alleles=jnp.asarray(ds.n_alleles, dtype=jnp.int32),
     )
@@ -241,8 +257,8 @@ def collapse_for_constrained(md: ModelData) -> ModelData:
     collapsed 1-row dataset - O(K L M) per EM step regardless of I.
     """
     return md._replace(
-        x=jnp.sum(md.x.astype(md.miss.dtype), axis=0, keepdims=True),
-        miss=jnp.sum(md.miss, axis=0, keepdims=True),
+        x=jnp.sum(md.x.astype(md.dtype), axis=0, keepdims=True),
+        miss=jnp.sum(md.miss.astype(md.dtype), axis=0, keepdims=True),
         row_valid=None,
         x_flat=None, x_bi=None, miss_st=None,
     )

@@ -50,7 +50,7 @@ def simulate_replicate(key, params: Params, md: ModelData, ploidy: int,
     """New count tensor from fitted params, preserving md.miss."""
     K = params.K
     p2 = params.p.reshape(K, -1)
-    n_obs = ploidy - md.miss
+    n_obs = ploidy - md.miss.astype(jnp.int32)
     if admixture:
         eta = params.eta
         if eta.ndim == 1:

@@ -256,3 +256,68 @@ def test_time_cap_regime(rng):
     elapsed = time.time() - t0
     assert res.time_stop
     assert elapsed < 30.0  # cap honored within segment + compile slack
+
+
+def test_int8_miss_storage_matches_float(rng):
+    """The accelerator storage mode keeps BOTH x and miss int8 (a
+    compute-dtype miss is 200 GB at biobank scale); every consumer must
+    cast before reductions - per-individual missing totals exceed the
+    int8 range at L > 127 (model/common.ModelData.dtype contract).
+    Covers the XLA step, the interpret-mode kernel paths, and init."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiclust_tpu.model import admixture
+    from multiclust_tpu.model.common import (EMConfig, ModelData, Params,
+                                             k_padded_size, pad_params_k,
+                                             unpad_params_k)
+    from multiclust_tpu.init.random import random_initialize
+    from multiclust_tpu.ops import df64
+
+    I, L, K = 48, 300, 3   # 2% of 300 loci ~ 6, but force heavy missing:
+    miss = rng.binomial(2, 0.5, size=(I, L))   # c_i ~ 300 >> 127
+    x0 = rng.binomial(2 - miss, 0.5)
+    counts = np.stack([x0, 2 - miss - x0], axis=2)
+    md8 = ModelData(x=jnp.asarray(counts, jnp.int8),
+                    miss=jnp.asarray(miss, jnp.int8),
+                    mask=jnp.ones((L, 2), bool),
+                    n_alleles=jnp.full((L,), 2, jnp.int32))
+    assert md8.dtype == jnp.float32
+    mdf = ModelData(x=jnp.asarray(counts, jnp.float32),
+                    miss=jnp.asarray(miss, jnp.float32),
+                    mask=jnp.ones((L, 2), bool),
+                    n_alleles=jnp.full((L,), 2, jnp.int32))
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    params = Params(eta=jnp.asarray(rng.dirichlet(np.full(K, 2.0), size=I),
+                                    jnp.float32),
+                    p=jnp.asarray(np.stack([p0t, 1 - p0t], axis=2),
+                                  jnp.float32))
+
+    cfg = EMConfig(admixture=True, has_missing=True)
+    ref, ll_r, _ = admixture.em_step(params, mdf, cfg)
+    out, ll_o, _ = admixture.em_step(params, md8, cfg)
+    np.testing.assert_allclose(np.asarray(out.eta), np.asarray(ref.eta),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               rtol=1e-5, atol=1e-6)
+    assert abs(float(df64.df_value(ll_o)) - float(df64.df_value(ll_r))) \
+        < 1e-2
+
+    # kernel path (biallelic, miss streamed)
+    cfg_bi = cfg._replace(use_pallas="interpret", biallelic=True, k_true=K)
+    pad = pad_params_k(params, k_padded_size(K, 32))
+    out_k, ll_k, _ = admixture.em_step(pad, md8.prepare_for_em(bi=True),
+                                       cfg_bi)
+    got = unpad_params_k(out_k, K)
+    np.testing.assert_allclose(np.asarray(got.eta), np.asarray(ref.eta),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=1e-4, atol=1e-5)
+
+    # initializer distance correction consumes miss too
+    a8 = random_initialize(jax.random.PRNGKey(0), md8, K,
+                           EMConfig(admixture=False), method=1)
+    af = random_initialize(jax.random.PRNGKey(0), mdf, K,
+                           EMConfig(admixture=False), method=1)
+    np.testing.assert_allclose(np.asarray(a8.p), np.asarray(af.p),
+                               rtol=1e-6, atol=1e-7)

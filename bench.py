@@ -52,6 +52,9 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     # the biallelic kernel streams miss per tile and folds C = eta^T @ miss
     # into the B matmuls in-kernel (em_alg.c:400-431)
     miss_rate = float(os.environ.get("BENCH_MISSING", "0"))
+    if miss_rate > 0 and M != 2:
+        raise SystemExit("BENCH_MISSING is only generated for the "
+                         "biallelic bench shapes (BENCH_M=2)")
     # mirror the engine's device policy (config.Options.device_policy):
     # int8 genotype storage on every accelerator f32 fit (the XLA paths
     # fuse the widening cast into the matmuls)
@@ -120,7 +123,7 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
         # the biallelic kernel, 128 otherwise) and the p0-representation
         # when biallelic, so no per-iteration relayout is needed
         from multiclust_tpu.runtime.multistart import _pad_k, _to_bi_repr
-        params = _pad_k(params, cfg, md)
+        params = _pad_k(params, cfg)
         params = _to_bi_repr(params, cfg, I, L)
 
     # BENCH_INTERVAL measures the --check-interval path: N-1 logL-free
@@ -224,8 +227,12 @@ def reference_throughput(I=200, L=500, K=20, max_iter=100):
 
 def main():
     size = os.environ.get("BENCH_SIZE", "full")
+    # BENCH_M > 2 benchmarks the multi-allelic generic kernels (e.g.
+    # microsatellite panels); the biallelic specializations gate on M == 2
+    bench_m = int(os.environ.get("BENCH_M", "2"))
     if size == "small":
-        ours = our_throughput(I=2048, L=512, steps=10, repeats=2)
+        ours = our_throughput(I=2048, L=512, M=bench_m, steps=10,
+                              repeats=2)
     elif size == "large":
         # biobank-scale single-chip config (BASELINE.md config 5): 65k
         # individuals x 16k SNPs.  Since the VMEM-budget fix this runs the
@@ -245,7 +252,7 @@ def main():
         ours = our_throughput(I=8192, L=131072, M=2, K=20, steps=20,
                               repeats=2)
     else:
-        ours = our_throughput()
+        ours = our_throughput(M=bench_m)
     try:
         ref = reference_throughput()
         vs = ours["cells_per_sec"] / ref["cells_per_sec"]

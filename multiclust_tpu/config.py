@@ -201,6 +201,11 @@ class Options:
         resolves to QN with ``q = scheme - SQS3``; QN disables backtracking.
         """
         out = dataclasses.replace(self)
+        # pin the DATA-derived ploidy: the biallelic mixture fast path
+        # folds x1 = ploidy - x0 into per-cluster constants
+        # (model/mixture._scores_bi), so a stale default here would
+        # silently corrupt non-diploid fits driven through the API
+        out.ploidy = ploidy
         out.lower_bound = min(
             self.lower_bound,
             1.0 / n_individuals / ploidy - 0.5 / n_individuals / ploidy,

@@ -44,13 +44,21 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO):
+        src = os.path.join(_NATIVE_DIR, "structure_reader.cpp")
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_SO)))
+        if stale:
+            # rebuild when missing OR older than its source - a stale
+            # (possibly checked-in) .so must never shadow a source change
             try:
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True, timeout=120)
+                subprocess.run(["make", "-B", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True,
+                               timeout=120)
             except Exception:
-                _build_failed = True
-                return None
+                if not os.path.exists(_SO):
+                    _build_failed = True
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

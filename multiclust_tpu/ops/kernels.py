@@ -535,12 +535,28 @@ _FULLSTEP_BI_STREAM_TILES = (
 )
 
 
+def _stream_vmem_fits(ti: int, tl: int, Kp: int) -> bool:
+    """Scoped-vmem budget model for the streamed kernels, calibrated
+    against the measured (1024, 2048, Kp=32) = 34.2 MB failure and the
+    compile-swept passes: ~4 live f32 elementwise temporaries [ti, tl],
+    the (double-buffered) int8 x tiles, the p0 block + two B scratches
+    [Kp, tl], and the eta/etan blocks [ti, Kp] - Kp GROWS the [Kp, tl]
+    terms, so large-K fits must take smaller tiles (or fall back)."""
+    est = (16 * ti * tl            # 4 f32 temps
+           + 6 * ti * tl           # x0/x1/miss int8 tiles, dbl-buffered
+           + 12 * Kp * tl          # p0 block + B0/B1 scratch, f32
+           + 8 * ti * Kp)          # eta + etan blocks, f32
+    # 13 MB calibrated against the real-TPU sweep: (256,2048) passes at
+    # Kp=32 (est 12.4M) and compile-OOMs at Kp=128 (est 14.8M)
+    return est <= 13 * 1024 * 1024
+
+
 def pick_layout_biallelic_streamed(I: int, Kp: int, L: int):
     """(ti, tl, Lp) for the streamed biallelic two-pass kernels (any L),
-    or (0, 0, 0) when no tile divides I."""
-    del Kp  # no resident-copy budget: tiles only
+    or (0, 0, 0) when no admissible tile divides I (callers fall back to
+    the generic sweep kernels)."""
     for ti, tl in _FULLSTEP_BI_STREAM_TILES:
-        if I % ti == 0:
+        if I % ti == 0 and _stream_vmem_fits(ti, tl, Kp):
             return ti, tl, _round_up(L, tl)
     return 0, 0, 0
 

@@ -67,8 +67,7 @@ def cfg_from_options(opt: Options, K: int,
         ploidy=opt.ploidy, check_interval=opt.check_interval, mesh=mesh)
 
 
-def _pad_k(params: Params, cfg: EMConfig,
-           md: Optional[ModelData] = None) -> Params:
+def _pad_k(params: Params, cfg: EMConfig) -> Params:
     """K-pad admixture params to the Pallas 32-lane layout (pads zero);
     no-op for the XLA/CPU paths.  Both the biallelic and the generic
     fullstep/sweep kernels take 32-lane K: their A/B accumulator outputs
@@ -358,7 +357,7 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
     if warm is not None:
         # -Q/-P warm start: every init identical (initialize_model,
         # rnd_init.c:74-76)
-        warm = _pad_k(warm, cfg, md)
+        warm = _pad_k(warm, cfg)
         pb = tree_map(lambda x: jnp.broadcast_to(x[None], (1,) + x.shape),
                       warm)
         if md_fit is not None:
@@ -373,7 +372,7 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
         procedure=opt.initialization_procedure,
         n_rand_em_init=opt.n_rand_em_init, codes=codes,
         md_score=md_score)
-    pb = _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg, md)
+    pb = _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg)
     if md_fit is not None:
         pb = _mesh_place_chain_batch(pb, cfg, md_fit)
     return pb, B
@@ -484,7 +483,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
             procedure=opt.initialization_procedure,
             n_rand_em_init=opt.n_rand_em_init, codes=codes,
             md_score=md_score)
-        pb = _pad_k(jax.vmap(init_fn)(keys), cfg, md_fit)
+        pb = _pad_k(jax.vmap(init_fn)(keys), cfg)
         return _mesh_place_chain_batch(pb, cfg, md_fit)
 
     key, sub = jax.random.split(key)
@@ -745,12 +744,12 @@ def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0,
 
 def _single_init(key, md, K, cfg, opt, codes, warm, md_score=None):
     if warm is not None:
-        return _pad_k(warm, cfg, md)
+        return _pad_k(warm, cfg)
     return _pad_k(rinit.initialize(
         key, md, K, cfg, method=opt.initialization_method,
         procedure=opt.initialization_procedure,
         n_rand_em_init=opt.n_rand_em_init, codes=codes,
-        md_score=md_score), cfg, md)
+        md_score=md_score), cfg)
 
 
 def hard_partition(params: Params, md: ModelData, admixture: bool):

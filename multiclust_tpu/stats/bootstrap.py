@@ -180,7 +180,7 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
                         procedure=opt.initialization_procedure,
                         n_rand_em_init=opt.n_rand_em_init,
                         codes=cd if opt.admixture else None)
-                    params = _pad_k(params, cfg, m)
+                    params = _pad_k(params, cfg)
                     params = _pad_params_rows(params, Ip, cfg)
                     return _pad_params_loci(params, Lp)
                 return jax.vmap(one)(jax.random.split(kr, B))

@@ -29,7 +29,13 @@ int mc_write_table(const char* path, const char* header,
   FILE* fp = fopen(path, "wb");
   if (!fp) return 1;
   static const size_t BUF = 1 << 20;
-  char* buf = new char[BUF + 4096];
+  // per-field width cap; snprintf's return value is the UNtruncated
+  // length, so clamp the pointer advance (a double >= ~1e34 under "%f"
+  // exceeds any fixed width) and flush whenever the remaining slack
+  // cannot hold a full worst-case row
+  static const size_t FIELD = 48;
+  const size_t row_max = (size_t)(n_int + n_f) * (FIELD + 1) + 2;
+  char* buf = new char[BUF + row_max];
   size_t used = 0;
   int rc = 0;
 
@@ -40,16 +46,17 @@ int mc_write_table(const char* path, const char* header,
     char* w = buf + used;
     for (int32_t c = 0; c < n_int; ++c) {
       if (c) *w++ = '\t';
-      w += snprintf(w, 32, "%lld",
-                    (long long)ints[r * n_int + c]);
+      int n = snprintf(w, FIELD, "%lld", (long long)ints[r * n_int + c]);
+      w += (n < 0) ? 0 : ((size_t)n < FIELD ? (size_t)n : FIELD - 1);
     }
     for (int32_t c = 0; c < n_f; ++c) {
       if (c || n_int) *w++ = '\t';
-      w += snprintf(w, 40, "%f", floats[r * n_f + c]);
+      int n = snprintf(w, FIELD, "%f", floats[r * n_f + c]);
+      w += (n < 0) ? 0 : ((size_t)n < FIELD ? (size_t)n : FIELD - 1);
     }
     *w++ = '\n';
     used = (size_t)(w - buf);
-    if (used >= BUF) {
+    if (used + row_max >= BUF) {
       if (fwrite(buf, 1, used, fp) != used) rc = 2;
       used = 0;
     }

@@ -136,7 +136,9 @@ def main() -> int:
         variants = [(True, True)] if args.fast else [
             (True, True), (True, False), (False, True), (False, False)]
         for ti, tl in kn._FULLSTEP_BI_STREAM_TILES:
-            for Kp in (32,):
+            for Kp in (32, 128):
+                if not kn._stream_vmem_fits(ti, tl, Kp):
+                    continue
                 for compute_t, with_miss in variants:
                     for emit_b in ((False, True)
                                    if compute_t and with_miss

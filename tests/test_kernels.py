@@ -262,7 +262,7 @@ def test_bi_repr_engine_matches_xla(accel, missing_rate):
     assert cfg_b.bi_repr_active
 
     ref_state, _ = fit_batch(batched, md_f, cfg_x)
-    bi = _to_bi_repr(_pad_k(batched, cfg_b, md), cfg_b, I, L)
+    bi = _to_bi_repr(_pad_k(batched, cfg_b), cfg_b, I, L)
     assert bi.p.ndim == 3 and bi.p.shape[-1] != 2  # really the p0 repr
     out_state, _ = fit_batch(bi, md, cfg_b)
     got = _unpad_k(jax.tree_util.tree_map(lambda t: t[0], out_state.params),

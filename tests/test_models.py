@@ -286,19 +286,24 @@ class TestBacktracking:
             float(state.logL_hi + state.logL_lo) - 1e-6
 
 
-def test_mixture_biallelic_fast_path_matches_generic(rng):
+import pytest
+
+
+@pytest.mark.parametrize("ploidy", [2, 4])
+def test_mixture_biallelic_fast_path_matches_generic(rng, ploidy):
     """The single-matmul biallelic mixture path (x1 = ploidy - x0 folded
     into per-cluster constants, model/mixture._scores_bi/_m_step_bi)
     reproduces the generic path exactly on missing-free SNP data,
-    including mesh-style padded rows/loci."""
+    including mesh-style padded rows/loci - at diploid AND tetraploid
+    ploidy (cfg.ploidy is pinned from the data by Options.synchronize)."""
     import jax.numpy as jnp
 
     from multiclust_tpu.model import mixture
     from multiclust_tpu.model.common import EMConfig, ModelData, Params
 
     I, L, K = 40, 30, 3
-    x0 = rng.integers(0, 3, size=(I, L))
-    counts = np.stack([x0, 2 - x0], axis=2)
+    x0 = rng.integers(0, ploidy + 1, size=(I, L))
+    counts = np.stack([x0, ploidy - x0], axis=2)
     # pad 3 rows (row_valid) and 2 masked loci, as the mesh padding does
     Ip, Lp = I + 3, L + 2
     c = np.zeros((Ip, Lp, 2), np.int64)
@@ -317,7 +322,8 @@ def test_mixture_biallelic_fast_path_matches_generic(rng):
     params = Params(eta=jnp.asarray(eta, jnp.float64),
                     p=jnp.asarray(p, jnp.float64))
 
-    cfg_gen = EMConfig(admixture=False, has_missing=False, biallelic=False)
+    cfg_gen = EMConfig(admixture=False, has_missing=False,
+                       biallelic=False, ploidy=ploidy)
     cfg_bi = cfg_gen._replace(biallelic=True)
     ref, bi = params, params
     for _ in range(4):
@@ -330,6 +336,9 @@ def test_mixture_biallelic_fast_path_matches_generic(rng):
         from multiclust_tpu.ops import df64
         assert abs(float(df64.df_value(ll_b))
                    - float(df64.df_value(ll_r))) < 1e-8
+    # Options.synchronize pins the data ploidy into cfg
+    from multiclust_tpu.config import Options
+    assert Options().synchronize(I, ploidy).ploidy == ploidy
     # log_likelihood takes the same fast path
     ll_fast, _ = mixture.log_likelihood(bi, md, cfg_bi)
     ll_gen, _ = mixture.log_likelihood(bi, md)

@@ -536,3 +536,32 @@ def test_bootstrap_lattice_bi_repr_matches_xla():
     # in rounding, and the LRT statistic is a difference of converged
     # max-logLs
     np.testing.assert_allclose(ts_b, ts_x, atol=0.5)
+
+
+def test_layout_choosers():
+    """pick_layout_biallelic prefers the minimum padded-Lp among
+    admissible tiles (tie -> ladder/speed order; advisor round-2
+    finding), and the streamed chooser's Kp-aware scoped-vmem model
+    shrinks tiles as K grows instead of shipping a compile OOM."""
+    from multiclust_tpu.ops.kernels import (_stream_vmem_fits,
+                                            pick_layout_biallelic,
+                                            pick_layout_biallelic_any,
+                                            pick_layout_biallelic_streamed)
+
+    # L=2560: (512,512) -> Lp=2560 beats (256,2048) -> Lp=4096
+    ti, tl, Lp = pick_layout_biallelic(4096, 32, 2560)
+    assert Lp == 2560, (ti, tl, Lp)
+    # L=2048: Lp ties at 2048 -> the fastest ladder entry wins
+    assert pick_layout_biallelic(4096, 32, 2048)[:2] == (256, 2048)
+
+    # streamed: bigger Kp -> no bigger tiles than the calibrated budget
+    t32 = pick_layout_biallelic_streamed(8192, 32, 131072)
+    t512 = pick_layout_biallelic_streamed(8192, 512, 131072)
+    assert t32[0] * t32[1] >= t512[0] * t512[1]
+    assert not _stream_vmem_fits(1024, 2048, 32)   # measured 34.2 MB OOM
+    assert not _stream_vmem_fits(256, 2048, 128)   # measured compile OOM
+    assert _stream_vmem_fits(256, 2048, 32)        # measured OK
+
+    # beyond the resident-copy ceiling the mode switches to streamed
+    assert pick_layout_biallelic_any(8192, 32, 16384)[3] == "resident"
+    assert pick_layout_biallelic_any(8192, 32, 131072)[3] == "streamed"

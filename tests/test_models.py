@@ -345,3 +345,60 @@ def test_mixture_biallelic_fast_path_matches_generic(rng, ploidy):
     from multiclust_tpu.ops import df64
     assert abs(float(df64.df_value(ll_fast))
                - float(df64.df_value(ll_gen))) < 1e-8
+
+
+def test_property_random_shapes_match_oracle(rng):
+    """Randomized property sweep: both models' EM steps match the f64
+    numpy oracle across random (I, L, M, K, ploidy, missing) combos -
+    jagged loci, polyploidy, constrained eta, monotone logL."""
+    import jax.numpy as jnp
+
+    from multiclust_tpu.model import admixture as adx, mixture as mx
+    from multiclust_tpu.model.common import EMConfig
+    from multiclust_tpu.opt import em as em_mod
+    import oracle
+
+    for case in range(8):
+        I = int(rng.integers(5, 25))
+        L = int(rng.integers(3, 12))
+        M = int(rng.integers(2, 6))
+        K = int(rng.integers(2, 5))
+        ploidy = int(rng.choice([1, 2, 4]))
+        missing_rate = float(rng.choice([0.0, 0.1, 0.3]))
+        admix = bool(rng.integers(0, 2))
+        constrained = admix and bool(rng.integers(0, 2))
+        ds = make_data(rng, I=I, L=L, M=M, K=K,
+                       missing_rate=missing_rate, ploidy=ploidy)
+        md = to_md(ds)
+        cfg = EMConfig(admixture=admix, eta_constrained=constrained,
+                       p_lower_bound=1e-6, eta_lower_bound=1e-6,
+                       ploidy=ploidy)
+        params = rand_params(rng, K, md,
+                             per_individual=admix and not constrained)
+        tag = (case, I, L, M, K, ploidy, missing_rate, admix, constrained)
+        if admix:
+            new, ll, _ = adx.em_step(params, md, cfg)
+            d_ref, ll_ref = oracle.admixture_e_step(
+                np.asarray(params.eta), np.asarray(params.p),
+                ds.counts, ds.miss, ds.mask)
+            eta_ref, p_ref = oracle.admixture_m_step(
+                d_ref, ds.counts, ds.miss, ds.mask, constrained,
+                1e-6, 1e-6)
+        else:
+            new, ll, _, _ = mx.em_step(params, md, cfg)
+            v_ref, ll_ref = oracle.mixture_e_step(
+                np.asarray(params.eta), np.asarray(params.p),
+                ds.counts, ds.mask)
+            eta_ref, p_ref = oracle.mixture_m_step(
+                v_ref, ds.counts, ds.mask, 1e-6, 1e-6,
+                do_projection=True)
+        np.testing.assert_allclose(float(df64.df_value(ll)), ll_ref,
+                                   rtol=1e-10, err_msg=str(tag))
+        np.testing.assert_allclose(np.asarray(new.eta), eta_ref,
+                                   atol=1e-8, err_msg=str(tag))
+        np.testing.assert_allclose(np.asarray(new.p), p_ref,
+                                   atol=1e-8, err_msg=str(tag))
+        # EM monotonicity: a second step never decreases the logL
+        _, ll2, _ = em_mod.model_em_step(new, md, cfg)
+        assert float(df64.df_value(ll2)) >= float(df64.df_value(ll)) - 1e-9, \
+            tag

@@ -416,3 +416,32 @@ def test_dryrun_no_involuntary_rematerialization():
     assert "DRYRUN_OK" in out.stdout, out.stderr[-2000:]
     assert "Involuntary full rematerialization" not in out.stderr, \
         out.stderr[-3000:]
+
+
+def test_warm_start_under_mesh_matches(data):
+    """-Q/-P warm starts through the engine on a mesh equal the
+    single-device warm fit (the warm chain batch is padded and placed on
+    the mesh host-side like fresh inits - _mesh_place_chain_batch)."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.model.common import Params
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    ds = data
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    rng = np.random.default_rng(61)
+    warm = make_params(rng, 3, ds, per_individual=True)
+    base = dict(admixture=True, n_init=1, min_K=3, max_K=3,
+                dtype="float64")
+    ref = maximize_likelihood(
+        jax.random.PRNGKey(7), md, 3,
+        Options(**base).synchronize(ds.I, ds.ploidy),
+        n_parameters=40, warm=warm)
+    out = maximize_likelihood(
+        jax.random.PRNGKey(7), md, 3,
+        Options(**base, mesh_shape=(4, 2)).synchronize(ds.I, ds.ploidy),
+        n_parameters=40, warm=warm)
+    assert abs(ref.max_logL - out.max_logL) < 1e-6
+    np.testing.assert_allclose(np.asarray(out.best_params.p),
+                               np.asarray(ref.best_params.p), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.best_params.eta),
+                               np.asarray(ref.best_params.eta), atol=1e-7)

@@ -91,12 +91,29 @@ _FULLSTEP_TILES = (
 GENERIC_K_LANES = (32, 128)
 
 
+def _fullstep_k_fits(ti: int, tl: int, Kp: int) -> bool:
+    """Large-K tile admission for the generic fullstep, probe-calibrated
+    on real TPU (round 3): all ladder entries compile at Kp <= 128
+    (swept at 32 and 128); at Kp=256 the (512,1024) tile OOMs the scoped
+    vmem while (512,512)/(256,512) pass; at Kp=512 only (256,512)-and-
+    smaller pass (the eta/etan [ti, Kp] blocks and the [Kp, tl] p tiles
+    grow with Kp).  Beyond 512 is unprobed: smallest tiles only."""
+    if Kp <= 128:
+        return True
+    if Kp <= 256:
+        return ti * tl <= 512 * 512
+    if Kp <= 512:
+        return ti * tl <= 256 * 512
+    return ti * tl <= 128 * 512
+
+
 def pick_tiles(I: int, Kp: int, LMp: int):
     """Fastest verified (ti, tl) for the fullstep kernel, or (0, 0) if no
     combo divides the shapes within the VMEM budget."""
     b_bytes = Kp * LMp * 4
     for ti, tl, b_max in _FULLSTEP_TILES:
-        if I % ti == 0 and LMp % tl == 0 and b_bytes <= b_max:
+        if (I % ti == 0 and LMp % tl == 0 and b_bytes <= b_max
+                and _fullstep_k_fits(ti, tl, Kp)):
             return ti, tl
     return 0, 0
 
@@ -108,7 +125,8 @@ def pick_layout(I: int, Kp: int, LM: int):
     (0, 0, 0) if nothing fits."""
     for ti, tl, b_max in _FULLSTEP_TILES:
         LMp = _round_up(LM, tl)
-        if I % ti == 0 and Kp * LMp * 4 <= b_max:
+        if (I % ti == 0 and Kp * LMp * 4 <= b_max
+                and _fullstep_k_fits(ti, tl, Kp)):
             return ti, tl, LMp
     return 0, 0, 0
 

@@ -565,3 +565,19 @@ def test_layout_choosers():
     # beyond the resident-copy ceiling the mode switches to streamed
     assert pick_layout_biallelic_any(8192, 32, 16384)[3] == "resident"
     assert pick_layout_biallelic_any(8192, 32, 131072)[3] == "streamed"
+
+
+def test_generic_layout_large_k_guard():
+    """pick_layout/_fullstep_k_fits reject the probe-confirmed large-K
+    compile-OOM tiles: (512,1024) at Kp=256 and (512,512) at Kp=512 OOM
+    the real TPU's scoped vmem while (256,512) passes at both."""
+    from multiclust_tpu.ops.kernels import _fullstep_k_fits, pick_layout
+
+    assert _fullstep_k_fits(1024, 512, 128)
+    assert not _fullstep_k_fits(512, 1024, 256)
+    assert _fullstep_k_fits(512, 512, 256)
+    assert not _fullstep_k_fits(512, 512, 512)
+    assert _fullstep_k_fits(256, 512, 512)
+    # a K=500 fit picks an admissible tile rather than a compile OOM
+    ti, tl, LMp = pick_layout(2048, 512, 2048)
+    assert (ti, tl) == (0, 0) or ti * tl <= 256 * 512

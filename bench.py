@@ -35,7 +35,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 PEAK_FLOPS = 197e12
 
 
-def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
+def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3,
+                   interval=None):
     # steps amortize the ~25ms scalar-fetch round trip through the axon
     # tunnel; at 400 steps the reported rate is within ~3% of device rate
     import jax
@@ -132,8 +133,11 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3):
     # default is ADAPTIVE (config.Options.check_interval=0), which sits at
     # the escalation cap for the bulk of any non-trivial fit - so the
     # bench default mirrors that steady state (opt/em.ADAPTIVE_CAP = 16);
-    # BENCH_INTERVAL=1 measures reference per-iteration semantics.
-    interval = max(1, int(os.environ.get("BENCH_INTERVAL", "16")))
+    # BENCH_INTERVAL=1 measures reference per-iteration semantics.  The
+    # driver JSON reports BOTH (main() second pass at interval=1) so
+    # cross-round comparisons cannot silently mix semantics.
+    if interval is None:
+        interval = max(1, int(os.environ.get("BENCH_INTERVAL", "16")))
     n_macro = max(1, steps // interval)
     steps = n_macro * interval
 
@@ -230,9 +234,20 @@ def main():
     # BENCH_M > 2 benchmarks the multi-allelic generic kernels (e.g.
     # microsatellite panels); the biallelic specializations gate on M == 2
     bench_m = int(os.environ.get("BENCH_M", "2"))
+    # second measurement pass at check-interval 1 (reference per-iteration
+    # stop semantics, em_alg.c:101-143) so the JSON is self-describing;
+    # skipped when the user pins BENCH_INTERVAL=1 (then value IS interval-1)
+    def interval1(**kw):
+        if int(os.environ.get("BENCH_INTERVAL", "16")) == 1:
+            return None
+        kw["steps"] = min(kw.get("steps", 400), 100)
+        kw.setdefault("repeats", 2)
+        return our_throughput(interval=1, **kw)
+
     if size == "small":
         ours = our_throughput(I=2048, L=512, M=bench_m, steps=10,
                               repeats=2)
+        ours1 = interval1(I=2048, L=512, M=bench_m, steps=10)
     elif size == "large":
         # biobank-scale single-chip config (BASELINE.md config 5): 65k
         # individuals x 16k SNPs.  Since the VMEM-budget fix this runs the
@@ -244,6 +259,7 @@ def main():
         # relayout keeps a second copy live, so budget ~6 GB for x
         ours = our_throughput(I=65536, L=16384, M=2, K=20, steps=20,
                               repeats=2)
+        ours1 = interval1(I=65536, L=16384, M=2, K=20, steps=20)
     elif size == "xl":
         # biobank-L single-chip config: Lp far beyond the resident-B
         # ceiling (16384 at Kp=32), so the STREAMED biallelic two-pass
@@ -251,8 +267,10 @@ def main():
         # I scaled down to keep the int8 genotype tensors inside HBM
         ours = our_throughput(I=8192, L=131072, M=2, K=20, steps=20,
                               repeats=2)
+        ours1 = interval1(I=8192, L=131072, M=2, K=20, steps=20)
     else:
         ours = our_throughput(M=bench_m)
+        ours1 = interval1(M=bench_m)
     try:
         ref = reference_throughput()
         vs = ours["cells_per_sec"] / ref["cells_per_sec"]
@@ -260,14 +278,19 @@ def main():
         print(f"# reference baseline unavailable: {e}", file=sys.stderr)
         ref = None
         vs = 0.0
-    print(json.dumps({
+    out = {
         "metric": "admixture EM genotype-cells/sec/chip (K=20)",
         "value": round(ours["cells_per_sec"], 1),
         "unit": "cells/s",
         "vs_baseline": round(vs, 2),
         "useful_mfu": round(ours["useful_mfu"], 4),
         "shape": [ours["I"], ours["L"], ours["M"]],
-    }))
+        # value = adaptive-check-interval steady state (the production
+        # default); value_interval1 = reference per-iteration stop
+        # semantics (logL computed every EM iteration)
+        "value_interval1": round((ours1 or ours)["cells_per_sec"], 1),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

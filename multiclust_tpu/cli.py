@@ -502,7 +502,8 @@ def _main(argv: Optional[List[str]] = None) -> int:
                   f"({ntime / (rep + 1):f})")
 
         bres = run_bootstrap(sub, md, opt, n_parameters, est.ts,
-                             est.h0_params, ds.ploidy, log=log)
+                             est.h0_params, ds.ploidy, log=log,
+                             checkpoint_dir=opt.checkpoint_dir)
         print(f"p-value to reject H0: K={bres.null_K} is {bres.pvalue:f}")
     return 0
 

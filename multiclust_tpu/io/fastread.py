@@ -59,6 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 if not os.path.exists(_SO):
                     _build_failed = True
                     return None
+                # the stale binary still loads below: say so instead of
+                # silently shadowing the newer source (advisor r3)
+                import warnings
+                warnings.warn(
+                    f"rebuild of {_SO} failed; loading STALE binary older "
+                    f"than {src}", RuntimeWarning)
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

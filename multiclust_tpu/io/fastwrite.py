@@ -52,6 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 if not os.path.exists(_SO):
                     _build_failed = True
                     return None
+                # the stale binary still loads below: say so instead of
+                # silently shadowing the newer source (advisor r3)
+                import warnings
+                warnings.warn(
+                    f"rebuild of {_SO} failed; loading STALE binary older "
+                    f"than {src}", RuntimeWarning)
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -89,5 +95,9 @@ def write_table(path: str, header: str, trailer: str,
         ints.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         floats.shape[1],
         floats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc == 4:
+        raise ValueError(
+            f"mc_write_table: a formatted field overflows the width cap "
+            f"(value out of supported range) writing {path}")
     if rc != 0:
         raise OSError(f"mc_write_table failed with code {rc} for {path}")

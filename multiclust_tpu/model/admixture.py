@@ -148,7 +148,8 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
     Kp = eta.shape[-1]
     dd = cfg.data_shards
     assert md.I % dd == 0, (md.I, dd)
-    ti, tl, Lp, mode = pick_layout_biallelic_any(md.I // dd, Kp, md.L)
+    ti, tl, Lp, mode = pick_layout_biallelic_any(md.I // dd, Kp, md.L,
+                                                 emit_b=True)
     assert ti and p0.shape[-1] == Lp, (md.I, dd, Kp, md.L, p0.shape)
     fn = (admixture_fullstep_biallelic if mode == "resident"
           else admixture_fullstep_biallelic_streamed)

@@ -553,40 +553,53 @@ _FULLSTEP_BI_STREAM_TILES = (
 )
 
 
-def _stream_vmem_fits(ti: int, tl: int, Kp: int) -> bool:
+def _stream_vmem_fits(ti: int, tl: int, Kp: int,
+                      emit_b: bool = False) -> bool:
     """Scoped-vmem budget model for the streamed kernels, calibrated
     against the measured (1024, 2048, Kp=32) = 34.2 MB failure and the
     compile-swept passes: ~4 live f32 elementwise temporaries [ti, tl],
     the (double-buffered) int8 x tiles, the p0 block + two B scratches
     [Kp, tl], and the eta/etan blocks [ti, Kp] - Kp GROWS the [Kp, tl]
-    terms, so large-K fits must take smaller tiles (or fall back)."""
+    terms, so large-K fits must take smaller tiles (or fall back).
+
+    The emit_b (mesh) variant additionally carries the b0/b1 OUTPUT
+    blocks [Kp, tl] (double-buffered) on top of the scratches (advisor
+    r3 - the previous model admitted tiles whose emit_b variant was
+    tighter than modeled); callers that will run emit_b=True must pass
+    it here so the layout choice budgets the larger variant."""
     est = (16 * ti * tl            # 4 f32 temps
            + 6 * ti * tl           # x0/x1/miss int8 tiles, dbl-buffered
            + 12 * Kp * tl          # p0 block + B0/B1 scratch, f32
            + 8 * ti * Kp)          # eta + etan blocks, f32
+    if emit_b:
+        est += 16 * Kp * tl        # b0/b1 output blocks, dbl-buffered
     # 13 MB calibrated against the real-TPU sweep: (256,2048) passes at
     # Kp=32 (est 12.4M) and compile-OOMs at Kp=128 (est 14.8M)
     return est <= 13 * 1024 * 1024
 
 
-def pick_layout_biallelic_streamed(I: int, Kp: int, L: int):
+def pick_layout_biallelic_streamed(I: int, Kp: int, L: int,
+                                   emit_b: bool = False):
     """(ti, tl, Lp) for the streamed biallelic two-pass kernels (any L),
     or (0, 0, 0) when no admissible tile divides I (callers fall back to
-    the generic sweep kernels)."""
+    the generic sweep kernels).  ``emit_b`` budgets the mesh variant's
+    extra output blocks (see _stream_vmem_fits)."""
     for ti, tl in _FULLSTEP_BI_STREAM_TILES:
-        if I % ti == 0 and _stream_vmem_fits(ti, tl, Kp):
+        if I % ti == 0 and _stream_vmem_fits(ti, tl, Kp, emit_b):
             return ti, tl, _round_up(L, tl)
     return 0, 0, 0
 
 
-def pick_layout_biallelic_any(I: int, Kp: int, L: int):
+def pick_layout_biallelic_any(I: int, Kp: int, L: int,
+                              emit_b: bool = False):
     """(ti, tl, Lp, mode) with mode 'resident' (single fused kernel, B in
     VMEM) when the ladder admits it, else 'streamed' (two-pass, no Lp
-    ceiling); ('', 0 tiles) when neither applies."""
+    ceiling); ('', 0 tiles) when neither applies.  ``emit_b`` = the
+    caller will run the kernels with emit_b=True (mesh path)."""
     ti, tl, Lp = pick_layout_biallelic(I, Kp, L)
     if ti:
         return ti, tl, Lp, "resident"
-    ti, tl, Lp = pick_layout_biallelic_streamed(I, Kp, L)
+    ti, tl, Lp = pick_layout_biallelic_streamed(I, Kp, L, emit_b)
     if ti:
         return ti, tl, Lp, "streamed"
     return 0, 0, 0, ""

@@ -51,6 +51,49 @@ def save(directory: str, K: int, res: MaximizeResult, key=None) -> str:
     return path
 
 
+def bootstrap_file(directory: str, null_K: int, alt_K: int) -> str:
+    return os.path.join(
+        directory, f"multiclust_ckpt.bootstrap.K={null_K}v{alt_K}.npz")
+
+
+def save_bootstrap(directory: str, null_K: int, alt_K: int,
+                   n_bootstrap: int, ts, next_rep: int, key) -> str:
+    """Persist bootstrap progress after a replicate chunk: the test
+    statistics computed so far, the index of the next replicate to fit,
+    and the PRNG key that will drive it - enough to resume a killed
+    ``-b`` run with an IDENTICAL ts list and p-value (the reference's
+    run_bootstrap, multiclust.c:675-708, loses everything)."""
+    os.makedirs(directory, exist_ok=True)
+    path = bootstrap_file(directory, null_K, alt_K)
+    meta = {"null_K": null_K, "alt_K": alt_K, "n_bootstrap": n_bootstrap,
+            "next_rep": int(next_rep)}
+    tmp = path + ".tmp"
+    np.savez(tmp,
+             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+             ts=np.asarray(ts, np.float64),
+             key=np.asarray(key))
+    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    return path
+
+
+def load_bootstrap(directory: str, null_K: int, alt_K: int,
+                   n_bootstrap: int) -> Optional[tuple]:
+    """Returns (ts array, next_rep, key) or None when absent/mismatched
+    (a checkpoint from a different -b/-k configuration is ignored)."""
+    import jax.numpy as jnp
+
+    path = bootstrap_file(directory, null_K, alt_K)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        if (meta["null_K"] != null_K or meta["alt_K"] != alt_K
+                or meta["n_bootstrap"] != n_bootstrap):
+            return None
+        return (np.asarray(z["ts"], np.float64), int(meta["next_rep"]),
+                jnp.asarray(z["key"]))
+
+
 def load(directory: str, K: int,
          dtype=None) -> Optional[tuple]:
     """Returns (MaximizeResult, key or None) or None when absent."""

@@ -90,9 +90,11 @@ def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
         return params
     from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
     Kp = params.eta.shape[-1]
-    # under a mesh the kernels tile PER-SHARD rows (same divisor the
-    # meshed step uses, model/admixture._em_step_bi_repr_meshed)
-    ti, tl, Lp, _ = pick_layout_biallelic_any(Ip // cfg.data_shards, Kp, L)
+    # under a mesh the kernels tile PER-SHARD rows with emit_b variants
+    # (same divisor/flags the meshed step uses,
+    # model/admixture._em_step_bi_repr_meshed)
+    ti, tl, Lp, _ = pick_layout_biallelic_any(
+        Ip // cfg.data_shards, Kp, L, emit_b=cfg.data_shards > 1)
     if not ti:
         return params  # untileable: the glue fallback handles full p
     p0 = params.p[..., 0]

@@ -125,11 +125,16 @@ def _fit_lattice(params_rb: Params, md_b: ModelData, cfg, segment: int = 16):
 
 
 def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
-                n_reps: int) -> np.ndarray:
+                n_reps: int, checkpoint_dir=None) -> np.ndarray:
     """Fit H0 (K-1) and Ha (K) on ``n_reps`` simulated replicates as
     vmapped (replicate x init) chain lattices; returns the replicate test
     statistics.  Replaces the reference's serial refit loop
-    (multiclust.c:681) per SURVEY.md section 2.3 (bootstrap parallelism)."""
+    (multiclust.c:681) per SURVEY.md section 2.3 (bootstrap parallelism).
+
+    ``checkpoint_dir`` persists (ts-so-far, next replicate, PRNG key)
+    after every chunk (runtime/checkpoint.save_bootstrap); a resumed run
+    skips completed replicates and reproduces the identical ts list (the
+    per-chunk key splits are replayed from the saved key)."""
     from multiclust_tpu.init.random import codes_from_counts_jax, initialize
     from multiclust_tpu.runtime.multistart import _pad_k, _pad_md_rows, \
         _pad_params_loci, _pad_params_rows, _row_pad_target, _to_bi_repr, \
@@ -138,7 +143,19 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
     B = max(opt.n_init, 1)
     chunk = replicate_chunk(md, B, n_reps)
     ts = []
-    for lo in range(0, n_reps, chunk):
+    start = 0
+    if checkpoint_dir:
+        from multiclust_tpu.runtime import checkpoint as ckpt
+        loaded = ckpt.load_bootstrap(checkpoint_dir, opt.max_K - 1,
+                                     opt.max_K, n_reps)
+        # resume only on a chunk boundary consistent with this run's
+        # deterministic chunking (chunk size derives from md/opt alone)
+        if loaded is not None and loaded[1] % chunk == 0 \
+                and loaded[1] == len(loaded[0]):
+            done_ts, start, key = loaded
+            if start:
+                ts.append(done_ts)
+    for lo in range(start, n_reps, chunk):
         c = min(chunk, n_reps - lo)
         key, ksim, kinit = jax.random.split(key, 3)
         counts_b = jax.vmap(
@@ -201,6 +218,10 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
             lls = np.where(np.isfinite(lls), lls, -np.inf)
             maxll[K] = lls.max(axis=1)
         ts.append(maxll[opt.max_K] - maxll[opt.max_K - 1])
+        if checkpoint_dir:
+            from multiclust_tpu.runtime import checkpoint as ckpt
+            ckpt.save_bootstrap(checkpoint_dir, opt.max_K - 1, opt.max_K,
+                                n_reps, np.concatenate(ts), lo + c, key)
     return np.concatenate(ts)
 
 
@@ -252,7 +273,8 @@ def _shard_lattice_params(params_rb: Params, mesh):
 def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
                   h0_params: Params, ploidy: int,
                   codes_fn: Optional[Callable] = None,
-                  log: Optional[Callable] = None) -> BootstrapResult:
+                  log: Optional[Callable] = None,
+                  checkpoint_dir: Optional[str] = None) -> BootstrapResult:
     """run_bootstrap (multiclust.c:675-708).
 
     Default: replicates fit as BATCHED (replicate x init) chain lattices,
@@ -261,12 +283,18 @@ def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
     axes shard across the device mesh while replicate x init stay vmap
     axes.  The serial per-replicate loop remains for the stop regimes
     whose bookkeeping is inherently sequential (-t / -u) and
-    per-iteration verbosity."""
+    per-iteration verbosity.
+
+    ``checkpoint_dir`` persists progress after every chunk (batched) or
+    replicate (serial); a killed run resumes with an identical ts list
+    and p-value (the one place A4 checkpointing matters at scale - a
+    -b 100 run is 200+ full multi-start fits)."""
     exotic = (opt.target_ll or opt.target_revisit or opt.n_seconds
               or opt.verbosity > 3)
     if not exotic:
         ts_arr = _batched_ts(key, md, opt, h0_params, ploidy,
-                             opt.n_bootstrap)
+                             opt.n_bootstrap,
+                             checkpoint_dir=checkpoint_dir)
         ntime = 0
         for rep, t in enumerate(ts_arr):
             if t >= ts_obs:
@@ -283,7 +311,16 @@ def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
 
     ntime = 0
     ts_list = []
-    for rep in range(opt.n_bootstrap):
+    start = 0
+    if checkpoint_dir:
+        from multiclust_tpu.runtime import checkpoint as ckpt
+        loaded = ckpt.load_bootstrap(checkpoint_dir, opt.max_K - 1,
+                                     opt.max_K, opt.n_bootstrap)
+        if loaded is not None and loaded[1] == len(loaded[0]):
+            done_ts, start, key = loaded
+            ts_list = [float(t) for t in done_ts]
+            ntime = sum(1 for t in ts_list if t >= ts_obs)
+    for rep in range(start, opt.n_bootstrap):
         key, ksim, kfit = jax.random.split(key, 3)
         counts = simulate_replicate(ksim, h0_params, md, ploidy,
                                     opt.admixture)
@@ -301,6 +338,11 @@ def run_bootstrap(key, md: ModelData, opt, n_parameters_fn, ts_obs: float,
             ntime += 1
         if log:
             log(rep, est.ts, ntime)
+        if checkpoint_dir:
+            from multiclust_tpu.runtime import checkpoint as ckpt
+            ckpt.save_bootstrap(checkpoint_dir, opt.max_K - 1, opt.max_K,
+                                opt.n_bootstrap, np.asarray(ts_list),
+                                rep + 1, key)
     return BootstrapResult(
         ts_obs=ts_obs, ts_bs=ts_list,
         pvalue=ntime / opt.n_bootstrap,

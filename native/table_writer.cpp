@@ -21,7 +21,8 @@
 
 extern "C" {
 
-// Returns 0 on success, nonzero on IO failure.
+// Returns 0 on success; 1-3 on IO failure; 4 when a formatted field
+// exceeds the width cap (value out of the writer's supported range).
 int mc_write_table(const char* path, const char* header,
                    const char* trailer, int64_t n_rows, int32_t n_int,
                    const int64_t* ints, int32_t n_f,
@@ -30,9 +31,11 @@ int mc_write_table(const char* path, const char* header,
   if (!fp) return 1;
   static const size_t BUF = 1 << 20;
   // per-field width cap; snprintf's return value is the UNtruncated
-  // length, so clamp the pointer advance (a double >= ~1e34 under "%f"
-  // exceeds any fixed width) and flush whenever the remaining slack
-  // cannot hold a full worst-case row
+  // length.  A field that does not fit (a double >= ~1e41 under "%f")
+  // would silently lose digits and diverge from the byte-identical
+  // Python fallback, so it is a distinct error (rc=4) rather than a
+  // clamp (advisor r3).  Flush whenever the remaining slack cannot hold
+  // a full worst-case row.
   static const size_t FIELD = 48;
   const size_t row_max = (size_t)(n_int + n_f) * (FIELD + 1) + 2;
   char* buf = new char[BUF + row_max];
@@ -47,13 +50,16 @@ int mc_write_table(const char* path, const char* header,
     for (int32_t c = 0; c < n_int; ++c) {
       if (c) *w++ = '\t';
       int n = snprintf(w, FIELD, "%lld", (long long)ints[r * n_int + c]);
-      w += (n < 0) ? 0 : ((size_t)n < FIELD ? (size_t)n : FIELD - 1);
+      if (n < 0 || (size_t)n >= FIELD) { rc = 4; break; }
+      w += (size_t)n;
     }
-    for (int32_t c = 0; c < n_f; ++c) {
+    for (int32_t c = 0; c < n_f && rc == 0; ++c) {
       if (c || n_int) *w++ = '\t';
       int n = snprintf(w, FIELD, "%f", floats[r * n_f + c]);
-      w += (n < 0) ? 0 : ((size_t)n < FIELD ? (size_t)n : FIELD - 1);
+      if (n < 0 || (size_t)n >= FIELD) { rc = 4; break; }
+      w += (size_t)n;
     }
+    if (rc != 0) break;
     *w++ = '\n';
     used = (size_t)(w - buf);
     if (used + row_max >= BUF) {

@@ -47,6 +47,9 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3,
     from multiclust_tpu.model.common import EMConfig, ModelData, Params, \
         k_padded_size, pad_params_k
 
+    # BENCH_MODEL=mixture benchmarks the mixture family (C7: fused Pallas
+    # step when BENCH_PALLAS=1 and the panel is biallelic, XLA otherwise)
+    mixture_model = os.environ.get("BENCH_MODEL", "admixture") == "mixture"
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     biallelic = M == 2 and os.environ.get("BENCH_BIALLELIC", "1") == "1"
     # BENCH_MISSING=rate (e.g. 0.02) benchmarks the missing-data fast path:
@@ -59,10 +62,10 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3,
     # mirror the engine's device policy (config.Options.device_policy):
     # int8 genotype storage on every accelerator f32 fit (the XLA paths
     # fuse the widening cast into the matmuls)
-    cfg = EMConfig(admixture=True,
+    cfg = EMConfig(admixture=not mixture_model,
                    use_pallas="on" if use_pallas else "off",
                    has_missing=miss_rate > 0, biallelic=biallelic,
-                   k_true=K if use_pallas else 0)
+                   k_true=K if (use_pallas and not mixture_model) else 0)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     ploidy = 2
@@ -116,10 +119,12 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3,
                          else jnp.zeros((I, L), jnp.int8)),
                    mask=jnp.ones((L, M), bool),
                    n_alleles=jnp.full((L,), M, jnp.int32))
-    eta = jax.random.dirichlet(k2, jnp.full((K,), 2.0), (I,))
+    eta = (jax.random.dirichlet(k2, jnp.full((K,), 2.0))
+           if mixture_model
+           else jax.random.dirichlet(k2, jnp.full((K,), 2.0), (I,)))
     p = jax.random.dirichlet(k3, jnp.full((M,), 1.0), (K, L))
     params = Params(eta=eta.astype(jnp.float32), p=p.astype(jnp.float32))
-    if use_pallas:
+    if use_pallas and not mixture_model:
         # production layout (runtime/multistart): K-padded lanes (32 for
         # the biallelic kernel, 128 otherwise) and the p0-representation
         # when biallelic, so no per-iteration relayout is needed
@@ -144,9 +149,18 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3,
     # pass md as an argument: closing over it would embed the genotype
     # tensor as an HLO constant (huge programs; the axon remote-compile
     # relay rejects them with HTTP 413)
+    if mixture_model:
+        from multiclust_tpu.model.mixture import em_step as mix_em_step
+
     @jax.jit
     def run(params, md):
         md = md.prepare_for_em(bi=cfg.bi_repr_active or cfg.biallelic)
+        if mixture_model:
+            # the mixture logL falls out of the E-step softmax for free;
+            # there is no logL-free variant to interleave
+            def macro(_, p):
+                return mix_em_step(p, md, cfg)[0]
+            return jax.lax.fori_loop(0, steps, macro, params)
         def blind(_, p):
             new, _, _ = em_step(p, md, cfg, want_ll=False)
             return new
@@ -179,6 +193,87 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3,
         "useful_mfu": useful_flops / PEAK_FLOPS,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
+    }
+
+
+def jagged_throughput(I=16384, L=2048, K=20, frac_snp=0.8, M_big=8,
+                      steps=100, repeats=3):
+    """BENCH_JAGGED=1: mixed-M panel (frac_snp M=2 loci + the rest
+    M=8, interleaved).  Reports USEFUL genotype-cells/s (I * sum_l M_l
+    per sweep) for the bucketed representation (model/bucketed.py);
+    BENCH_BUCKETED=0 measures the dense M_max-padded layout for the
+    waste comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multiclust_tpu.model.admixture import em_step
+    from multiclust_tpu.model.bucketed import bucketize_model_data, \
+        jagged_savings, plan_buckets
+    from multiclust_tpu.model.common import EMConfig, ModelData, Params
+
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    bucketed = os.environ.get("BENCH_BUCKETED", "1") == "1"
+    rng = np.random.default_rng(0)
+    Ml = np.where(rng.random(L) < frac_snp, 2, M_big)
+    M = int(Ml.max())
+    # synthetic counts: 2 copies per (i, l) over the locus's own lanes
+    lanes = np.minimum(rng.integers(0, M_big, size=(2, I, L)),
+                       Ml[None, None, :] - 1)
+    counts = np.zeros((I, L, M), np.int8)
+    for a in range(2):
+        np.add.at(counts, (np.arange(I)[:, None],
+                           np.arange(L)[None, :], lanes[a]), 1)
+    md = ModelData(x=jnp.asarray(counts),
+                   miss=jnp.zeros((I, L), jnp.int8),
+                   mask=jnp.asarray(np.arange(M)[None] < Ml[:, None]),
+                   n_alleles=jnp.asarray(Ml, jnp.int32))
+    p = rng.random((K, L, M)) * (np.arange(M)[None, None]
+                                 < Ml[None, :, None])
+    p = p / p.sum(2, keepdims=True)
+    eta = rng.dirichlet(np.full(K, 2.0), size=I)
+    params = Params(eta=jnp.asarray(eta, jnp.float32),
+                    p=jnp.asarray(p, jnp.float32))
+    cfg = EMConfig(admixture=True, has_missing=False,
+                   use_pallas="on" if use_pallas else "off",
+                   k_true=K if use_pallas else 0)
+    if use_pallas:
+        from multiclust_tpu.runtime.multistart import _pad_k
+        params = _pad_k(params, cfg)
+    md_fit = md
+    if bucketed:
+        plan = plan_buckets(Ml, M)
+        md_fit = bucketize_model_data(md, plan)
+
+    @jax.jit
+    def run(params, md_fit):
+        md_p = md_fit.prepare_for_em()
+        if bucketed:
+            # the loop carry must already hold the per-bucket tuple p
+            from multiclust_tpu.model.bucketed import split_params_like
+            params0 = split_params_like(params, md_p)
+        else:
+            params0 = params
+        def body(_, pp):
+            new, _, _ = em_step(pp, md_p, cfg)
+            return new
+        return jax.lax.fori_loop(0, steps, body, params0)
+
+    out = run(params, md_fit)
+    float(jax.tree_util.tree_leaves(out.p)[0].reshape(-1)[0])
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jax.tree_util.tree_leaves(
+            run(params, md_fit).p)[0].reshape(-1)[0])
+        best = min(best, time.perf_counter() - t0)
+    useful_cells = int(np.sum(Ml)) * I
+    return {
+        "I": I, "L": L, "M": M, "K": K,
+        "cells_per_sec": useful_cells * steps / best,
+        "useful_mfu": 0.0,
+        "padding_waste": jagged_savings(Ml),
+        "bucketed": bucketed,
     }
 
 
@@ -234,17 +329,25 @@ def main():
     # BENCH_M > 2 benchmarks the multi-allelic generic kernels (e.g.
     # microsatellite panels); the biallelic specializations gate on M == 2
     bench_m = int(os.environ.get("BENCH_M", "2"))
+    # BENCH_K sweeps the cluster count (reference -k is unbounded,
+    # multiclust.c:1447-1453); large K exercises the ladder admission
+    # models' calibrated fallbacks (resident -> streamed -> generic)
+    bench_k = int(os.environ.get("BENCH_K", "20"))
     # second measurement pass at check-interval 1 (reference per-iteration
     # stop semantics, em_alg.c:101-143) so the JSON is self-describing;
     # skipped when the user pins BENCH_INTERVAL=1 (then value IS interval-1)
     def interval1(**kw):
         if int(os.environ.get("BENCH_INTERVAL", "16")) == 1:
             return None
-        kw["steps"] = min(kw.get("steps", 400), 100)
+        # keep the full step count: fewer steps under-amortize the
+        # ~30 ms tunnel scalar-fetch and understate the rate
         kw.setdefault("repeats", 2)
         return our_throughput(interval=1, **kw)
 
-    if size == "small":
+    if os.environ.get("BENCH_JAGGED", "0") == "1":
+        ours = jagged_throughput()
+        ours1 = None
+    elif size == "small":
         ours = our_throughput(I=2048, L=512, M=bench_m, steps=10,
                               repeats=2)
         ours1 = interval1(I=2048, L=512, M=bench_m, steps=10)
@@ -269,8 +372,8 @@ def main():
                               repeats=2)
         ours1 = interval1(I=8192, L=131072, M=2, K=20, steps=20)
     else:
-        ours = our_throughput(M=bench_m)
-        ours1 = interval1(M=bench_m)
+        ours = our_throughput(M=bench_m, K=bench_k)
+        ours1 = interval1(M=bench_m, K=bench_k)
     try:
         ref = reference_throughput()
         vs = ours["cells_per_sec"] / ref["cells_per_sec"]
@@ -278,8 +381,9 @@ def main():
         print(f"# reference baseline unavailable: {e}", file=sys.stderr)
         ref = None
         vs = 0.0
+    model = os.environ.get("BENCH_MODEL", "admixture")
     out = {
-        "metric": "admixture EM genotype-cells/sec/chip (K=20)",
+        "metric": f"{model} EM genotype-cells/sec/chip (K={ours['K']})",
         "value": round(ours["cells_per_sec"], 1),
         "unit": "cells/s",
         "vs_baseline": round(vs, 2),

@@ -422,6 +422,63 @@ def _main(argv: Optional[List[str]] = None) -> int:
     from multiclust_tpu.runtime.ksweep import estimate_model
     from multiclust_tpu.runtime.timing import timed_model_estimation
 
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # MULTI-HOST ingestion: each process parses only its row shard
+        # (runtime/ingest.py; replaces the reference's single-host
+        # whole-file read, read_file.c:38-300).  Fit results (logL,
+        # AIC/BIC, model selection) are replicated scalars printed by
+        # every process's own stdout; full per-name output files need
+        # host-global names and stay a single-host feature (PARITY.md).
+        for flag, name in ((opt.qfile, "-Q/-P warm start"),
+                           (opt.afile, "-A truth scoring"),
+                           (opt.n_bootstrap, "-b bootstrap"),
+                           (opt.n_repeat != 1, "-w timing harness"),
+                           (opt.imputed_outfile, "--impute outfile")):
+            if flag:
+                raise UsageError(
+                    f"{name} is not supported on multi-process runs; "
+                    f"run it single-host")
+        if not opt.mesh_shape:
+            raise UsageError("multi-process runs require --mesh")
+        from multiclust_tpu.runtime.ingest import codes_distributed, \
+            load_structure_distributed
+        from multiclust_tpu.runtime.mesh import cached_mesh
+        mesh = cached_mesh(tuple(opt.mesh_shape))
+        dtype = jnp.dtype(opt.dtype)
+        _, storage = opt.device_policy()
+        md, info = load_structure_distributed(
+            opt.filename, opt, mesh, dtype=dtype, storage_dtype=storage)
+        ds, _, _, I_total = info
+        opt = opt.synchronize(I_total, opt.ploidy)
+        opt.write_files = False
+        n_all = np.asarray(md.n_alleles)
+
+        codes = None
+        if opt.admixture:
+            codes = codes_distributed(md, info, opt, mesh)
+        warm = None
+        truth = None
+
+        def n_parameters(K):
+            eta_params = (I_total * (K - 1)
+                          if opt.admixture and not opt.eta_constrained
+                          else K - 1)
+            return eta_params + int(np.sum(n_all - 1)) * K
+
+        t_start = time.time()
+
+        def on_model_done(K, mres):
+            if opt.verbosity:
+                print_model_state(opt, ds, mres, time.time() - t_start)
+
+        est = estimate_model(key, md, opt, n_parameters, codes=codes,
+                             on_model_done=on_model_done,
+                             checkpoint_dir=None)
+        if opt.parallel:
+            print(f"{est.last.max_logL:f}")
+        return 0
+
     ds = read_structure(opt.filename, opt)
     if opt.imputation_method and opt.imputed_outfile:
         # write the imputed dataset (read_file, read_file.c:295-296)

@@ -37,6 +37,18 @@ class _McParse(ctypes.Structure):
     ]
 
 
+class _McScan(ctypes.Structure):
+    _fields_ = [
+        ("n_rows", ctypes.c_int64),
+        ("header_cols", ctypes.c_int64),
+        ("skipped_distances", ctypes.c_int32),
+        ("error", ctypes.c_int32),
+        ("err_msg", ctypes.c_char * 256),
+        ("name0", ctypes.c_char * 256),
+        ("name1", ctypes.c_char * 256),
+    ]
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     with _lock:
@@ -72,8 +84,15 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         lib.mc_parse_structure.restype = ctypes.POINTER(_McParse)
         lib.mc_parse_structure.argtypes = [ctypes.c_char_p]
+        lib.mc_parse_structure_range.restype = ctypes.POINTER(_McParse)
+        lib.mc_parse_structure_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        lib.mc_scan_structure.restype = ctypes.POINTER(_McScan)
+        lib.mc_scan_structure.argtypes = [ctypes.c_char_p]
         lib.mc_free.argtypes = [ctypes.POINTER(_McParse)]
         lib.mc_free.restype = None
+        lib.mc_free_scan.argtypes = [ctypes.POINTER(_McScan)]
+        lib.mc_free_scan.restype = None
         _lib = lib
         return _lib
 
@@ -82,15 +101,47 @@ def available() -> bool:
     return _load() is not None
 
 
-def parse_file(path: str) -> Tuple[int, List[str], List[str],
-                                   np.ndarray, bool]:
-    """Returns (header_cols, names, locales, data[n_rows, n_cols],
-    skipped_distance_line).  Raises on parse errors or when the native
-    library is unavailable."""
+def scan_file(path: str) -> Tuple[int, int, bool, str, str]:
+    """Metadata pass (native mc_scan_structure): returns (n_data_rows,
+    header_cols, skipped_distance_line, name0, name1) where name0/name1
+    are the first two data-row names (interleave autodetection,
+    read_file.c:89-95).  Numeric payloads are never materialized -
+    memory is O(chunk) regardless of file size."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native reader unavailable")
-    handle = lib.mc_parse_structure(path.encode())
+    handle = lib.mc_scan_structure(path.encode())
+    if not handle:
+        raise MemoryError("mc_scan_structure failed")
+    try:
+        s = handle.contents
+        if s.error:
+            raise ValueError(s.err_msg.decode(errors="replace"))
+        return (int(s.n_rows), int(s.header_cols),
+                bool(s.skipped_distances),
+                s.name0.decode(errors="replace"),
+                s.name1.decode(errors="replace"))
+    finally:
+        lib.mc_free_scan(handle)
+
+
+def parse_file(path: str, row_range: Optional[Tuple[int, int]] = None
+               ) -> Tuple[int, List[str], List[str], np.ndarray, bool]:
+    """Returns (header_cols, names, locales, data[n_rows, n_cols],
+    skipped_distance_line).  Raises on parse errors or when the native
+    library is unavailable.
+
+    ``row_range=(lo, hi)`` materializes only data rows [lo, hi) - the
+    per-process ingestion primitive for multi-host runs (parsing stops
+    at hi, memory stays O(range))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native reader unavailable")
+    if row_range is None:
+        handle = lib.mc_parse_structure(path.encode())
+    else:
+        handle = lib.mc_parse_structure_range(
+            path.encode(), int(row_range[0]), int(row_range[1]))
     if not handle:
         raise MemoryError("mc_parse_structure failed")
     try:

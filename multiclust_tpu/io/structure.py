@@ -67,7 +67,7 @@ def _parse_tokens_python(path: str):
     return header_cols, names, locales, data, skipped
 
 
-def _parse_tokens(path: str, use_native: bool = True):
+def _parse_tokens(path: str, use_native: bool = True, row_range=None):
     import os
     if not os.path.isfile(path):
         # fopen failure is FILE_OPEN_ERROR in the taxonomy, distinct from
@@ -77,12 +77,41 @@ def _parse_tokens(path: str, use_native: bool = True):
         try:
             from multiclust_tpu.io import fastread
             if fastread.available():
-                return fastread.parse_file(path)
+                return fastread.parse_file(path, row_range=row_range)
         except (RuntimeError, MemoryError):
             pass
         except ValueError as e:
             raise StructureFormatError(f"'{path}': {e}")
-    return _parse_tokens_python(path)
+    out = _parse_tokens_python(path)
+    if row_range is not None:
+        header_cols, names, locales, data, skipped = out
+        lo, hi = row_range
+        hi = len(names) if hi < 0 else min(hi, len(names))
+        out = (header_cols, names[lo:hi], locales[lo:hi], data[lo:hi],
+               skipped)
+    return out
+
+
+def scan_structure(path: str, use_native: bool = True):
+    """Metadata pass: (n_data_rows, header_cols, name0, name1) without
+    materializing numeric payloads (native streaming scan; the Python
+    fallback parses fully - fine at fallback scale)."""
+    import os
+    if not os.path.isfile(path):
+        raise MulticlustError(Err.FILE_OPEN_ERROR, path)
+    if use_native:
+        try:
+            from multiclust_tpu.io import fastread
+            if fastread.available():
+                n_rows, header_cols, _, n0, n1 = fastread.scan_file(path)
+                return n_rows, header_cols, n0, n1
+        except (RuntimeError, MemoryError):
+            pass
+        except ValueError as e:
+            raise StructureFormatError(f"'{path}': {e}")
+    header_cols, names, _, data, _ = _parse_tokens_python(path)
+    return (len(names), header_cols,
+            names[0] if names else "", names[1] if len(names) > 1 else "")
 
 
 def read_structure_raw(
@@ -155,6 +184,125 @@ def read_structure_raw(
         IL = np.where(IL == missing_value, MISSING, IL)
 
     return IL, names, locales, pops
+
+
+def read_structure_shard_raw(
+    path: str,
+    i_lo: int,
+    i_hi: int,
+    ploidy: int = 2,
+    R_format: bool = False,
+    one_plus: bool = False,
+    missing_value: int = MISSING,
+    use_native: bool = True,
+) -> Tuple[np.ndarray, List[str], np.ndarray, List[str], int, int]:
+    """Parse ONLY individuals [i_lo, i_hi) of a STRUCTURE file.
+
+    The per-process ingestion primitive for multi-host runs (SURVEY.md
+    section 2.3: replaces the reference's single-host whole-file read,
+    read_file.c:38-300): a streaming metadata scan determines the global
+    layout (row count + interleave autodetection from the first two row
+    names, read_file.c:89-95), then only the shard's data rows are
+    parsed and materialized - memory and parse time are O(shard), not
+    O(file).  Returns (IL_shard [(i_hi-i_lo)*ploidy, L], names, locales,
+    pops, I_total, L); locale indices are LOCAL to the shard.
+    """
+    n_rows, header_cols, name0, name1 = scan_structure(path, use_native)
+    if n_rows == 0:
+        raise StructureFormatError(f"'{path}' has no data rows")
+    L = header_cols - 2 if R_format else header_cols
+    interleaved = n_rows < 2 or name0 != name1
+
+    if interleaved:
+        I_total = n_rows
+        row_range = (i_lo, i_hi)
+    else:
+        if n_rows % ploidy:
+            raise StructureFormatError(
+                f"number of lines ({n_rows}) in '{path}' is not a "
+                f"multiple of ploidy ({ploidy})")
+        I_total = n_rows // ploidy
+        row_range = (i_lo * ploidy, i_hi * ploidy)
+    if not (0 <= i_lo <= i_hi <= I_total):
+        raise ValueError(f"shard [{i_lo}, {i_hi}) outside [0, {I_total})")
+
+    _, row_names, row_locales, data, _ = _parse_tokens(
+        path, use_native, row_range=row_range)
+    n_shard = i_hi - i_lo
+    D = data.shape[1] if data.size else (L if not interleaved else 0)
+
+    if interleaved:
+        if D != L and D != ploidy * L:
+            raise StructureFormatError(
+                f"number of columns ({L}) in '{path}' is not a multiple "
+                f"of ploidy ({ploidy})")
+        n_loci = L // ploidy if D == L else L
+        IL = data.reshape(n_shard, n_loci, ploidy).transpose(0, 2, 1) \
+            .reshape(n_shard * ploidy, n_loci)
+        names = list(row_names)
+        locale_strs = list(row_locales)
+    else:
+        if D != L:
+            raise StructureFormatError(
+                f"number of columns ({L}) in '{path}' does not match "
+                f"number of alleles ({D}) given for first individual")
+        IL = np.ascontiguousarray(data)
+        names = row_names[::ploidy]
+        locale_strs = row_locales[::ploidy]
+
+    pops: List[str] = []
+    pop_index = {}
+    locales = np.empty(n_shard, dtype=np.int64)
+    for i, s in enumerate(locale_strs):
+        if s not in pop_index:
+            pop_index[s] = len(pops)
+            pops.append(s)
+        locales[i] = pop_index[s]
+
+    if one_plus:
+        IL = IL - 1
+        missing_value -= 1
+    if missing_value != MISSING:
+        if (IL == MISSING).any():
+            raise StructureFormatError(
+                f"The default missing value ({MISSING}) is observed in "
+                f"the input file, but the user has defined the missing "
+                f"value to be {missing_value}.")
+        IL = np.where(IL == missing_value, MISSING, IL)
+
+    return IL, names, locales, pops, I_total, IL.shape[1]
+
+
+def read_structure_shard(path: str, i_lo: int, i_hi: int,
+                         opt: Optional[Options] = None,
+                         **kw) -> Tuple[Dataset, int]:
+    """Read individuals [i_lo, i_hi) into a (Dataset, I_total) pair.
+
+    Multi-host restriction: the allele vocabulary must be position-coded
+    (``-I`` / alleles_are_indices) so per-shard slot indices agree
+    globally without a cross-process label sync; biobank SNP matrices
+    are.  Arbitrary label-coded panels need the single-host reader (or a
+    recode pre-pass) - documented in PARITY.md.  The caller is
+    responsible for the cross-process n_alleles/M max-reduction
+    (runtime/ingest.py does it with a process allgather).
+    """
+    if opt is None:
+        opt = Options(**{k: v for k, v in kw.items()
+                         if k in Options.__dataclass_fields__})
+    if not opt.alleles_are_indices:
+        raise MulticlustError(
+            Err.INVALID_CMD_OPTION,
+            "multi-host sharded reading requires position-coded alleles "
+            "(-I): per-shard allele labels cannot be reconciled without "
+            "a global pre-pass")
+    IL, names, locales, pops, I_total, _ = read_structure_shard_raw(
+        path, i_lo, i_hi, ploidy=opt.ploidy, R_format=opt.R_format,
+        one_plus=opt.one_plus, missing_value=opt.missing_value)
+    ds = from_haplotypes(
+        IL, ploidy=opt.ploidy, alleles_are_indices=True,
+        imputation_method=opt.imputation_method,
+        names=names, locales=locales, pops=pops)
+    return ds, I_total
 
 
 def read_structure(path: str, opt: Optional[Options] = None,

@@ -87,6 +87,9 @@ def em_step(params: Params, md: ModelData, cfg: EMConfig,
     zero ll/scale.  Used by the check-interval driver
     (opt/em.blind_plain_steps) for the iterations between stop() checks.
     """
+    from multiclust_tpu.model.bucketed import BucketedData
+    if isinstance(md, BucketedData):
+        return _em_step_bucketed(params, md, cfg, want_ll)
     if cfg.eta_constrained:
         return _em_step_constrained(params, md, cfg)
     from multiclust_tpu.model.common import is_bi_repr
@@ -130,32 +133,54 @@ def _p0_clip_bounds(plb: float):
 
 
 def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
-    """Biallelic p0-representation full step under a data-axis mesh: each
-    shard runs the fused kernel on its I rows with ``emit_b=True`` (the
-    in-kernel eta update is per-individual, hence shard-local), the B0/B1
-    accumulators psum across data shards, and the p update (normalization
-    + closed-form 2-simplex projection) runs replicated on the merged
-    statistics - the same split as _sharded_fullstep, restricted to
-    model_shards == 1 (loci unsharded: p0 is [Kp, Lp] everywhere)."""
+    """Biallelic p0-representation full step under a (data x loci) mesh:
+    each shard runs the fused kernel on its (I_loc, L_loc) tile with
+    ``emit_b=True`` - the B0/B1 accumulators are locus-local, so they
+    psum only across DATA shards and the p update (normalization +
+    closed-form 2-simplex projection) runs per model shard on its own
+    loci.  With loci sharded (model_shards > 1) the kernel additionally
+    runs ``emit_a=True``: the per-individual A+r accumulator covers only
+    the shard's loci, so it (and the logL terms t) psums across MODEL
+    shards before the eta epilogue (normalize + Michelot projection)
+    finishes in XLA per data shard.  Same collective structure as
+    _sharded_fullstep/_sharded_sweep, on the p0 representation.
+
+    Layout contract: the engine pre-pads loci so every model shard's
+    block is kernel-tile-aligned (runtime/multistart._loci_pad_target) -
+    global pads sit at the tail, inert (zero x/miss, zero p0 kept zero
+    by the masked p update)."""
     from jax.sharding import PartitionSpec as P
 
     from multiclust_tpu.ops.kernels import \
         admixture_fullstep_biallelic, \
         admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
-    from multiclust_tpu.runtime.mesh import DATA_AXIS
+    from multiclust_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
 
     eta, p0 = params.eta, params.p
     Kp = eta.shape[-1]
-    dd = cfg.data_shards
-    assert md.I % dd == 0, (md.I, dd)
-    ti, tl, Lp, mode = pick_layout_biallelic_any(md.I // dd, Kp, md.L,
-                                                 emit_b=True)
-    assert ti and p0.shape[-1] == Lp, (md.I, dd, Kp, md.L, p0.shape)
+    dd, mm = cfg.data_shards, cfg.model_shards
+    assert md.I % dd == 0 and md.L % mm == 0, (md.I, dd, md.L, mm)
+    L_loc = md.L // mm
+    ti, tl, Lp_loc, mode = pick_layout_biallelic_any(
+        md.I // dd, Kp, L_loc, emit_b=True)
+    assert ti, (md.I, dd, mm, Kp, md.L)
+    if mm > 1:
+        # loci sharded: the engine pads loci to the layout's per-shard
+        # tile multiple BEFORE converting to the representation
+        # (runtime/multistart._loci_pad_target) - a global tail pad here
+        # would land entirely on the last shard and misalign x vs p0
+        assert Lp_loc == L_loc and p0.shape[-1] == md.L, \
+            (md.I, dd, mm, Kp, md.L, p0.shape)
+        Lp = md.L
+    else:
+        Lp = Lp_loc
+        assert p0.shape[-1] == Lp, (md.L, Lp, p0.shape)
     fn = (admixture_fullstep_biallelic if mode == "resident"
           else admixture_fullstep_biallelic_streamed)
+    emit_a = mm > 1
     x0, x1 = _bi_inputs(md)
     dL = Lp - md.L
-    if dL:
+    if dL:  # mm == 1: global tail pad, loop-invariant (hoisted)
         x0 = jnp.pad(x0, ((0, 0), (0, dL)))
         x1 = jnp.pad(x1, ((0, 0), (0, dL)))
     c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
@@ -163,32 +188,49 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
     lb = float(cfg.eta_lower_bound)
     plb, pub = _p0_clip_bounds(cfg.p_lower_bound)
 
-    def local(eta_l, p0_g, x0_l, x1_l, c_l, *m):
-        etan, per_i, b0, b1 = fn(
-            eta_l, p0_g, x0_l, x1_l, c_l, m[0] if m else None,
+    def local(eta_l, p0_l, x0_l, x1_l, c_l, *m):
+        aout, per_i, b0, b1 = fn(
+            eta_l, p0_l, x0_l, x1_l, c_l, m[0] if m else None,
             ti=ti, tl=tl, k_true=cfg.k_true, lb=lb, plb=plb,
             project=cfg.do_projection, compute_t=want_ll, emit_b=True,
-            interpret=interpret)
-        b0 = jax.lax.psum(b0, DATA_AXIS)
-        b1 = jax.lax.psum(b1, DATA_AXIS)
-        pc0 = p0_g * b0
-        pc1 = (1.0 - p0_g) * b1
+            emit_a=emit_a, interpret=interpret)
+        if emit_a:
+            # per-individual reductions span all loci: merge A (raw, c
+            # NOT included - it is a global total) and t over the model
+            # axis, then finish the eta update in XLA per data shard
+            A = jax.lax.psum(aout, MODEL_AXIS) + c_l
+            if want_ll:
+                per_i = jax.lax.psum(per_i, MODEL_AXIS)
+            num = eta_l * A
+            tot = jnp.sum(num, axis=1, keepdims=True)
+            etan = jnp.where(tot > 0,
+                             num / jnp.where(tot > 0, tot, 1.0), eta_l)
+            if cfg.do_projection:
+                etan = _project_eta_rows(etan, cfg)
+        else:
+            etan = aout
+        if dd > 1:
+            b0 = jax.lax.psum(b0, DATA_AXIS)
+            b1 = jax.lax.psum(b1, DATA_AXIS)
+        pc0 = p0_l * b0
+        pc1 = (1.0 - p0_l) * b1
         tot = pc0 + pc1
         q0 = jnp.where(tot > 0, pc0 / jnp.where(tot > 0, tot, 1.0), 0.0)
         if cfg.do_projection:
             q0 = jnp.where(tot > 0, jnp.clip(q0, plb, pub), 0.0)
         return etan, per_i, q0
 
-    in_specs = [P(DATA_AXIS, None), P(None, None), P(DATA_AXIS, None),
-                P(DATA_AXIS, None), P(DATA_AXIS, None)]
+    in_specs = [P(DATA_AXIS, None), P(None, MODEL_AXIS),
+                P(DATA_AXIS, MODEL_AXIS), P(DATA_AXIS, MODEL_AXIS),
+                P(DATA_AXIS, None)]
     args = [eta, p0, x0, x1, c]
     if miss is not None:
-        in_specs.append(P(DATA_AXIS, None))
+        in_specs.append(P(DATA_AXIS, MODEL_AXIS))
         args.append(miss)
     eta_new, per_i, p0n = jax.shard_map(
         local, mesh=cfg.mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, MODEL_AXIS)),
         check_vma=False)(*args)
     if not want_ll:
         z = jnp.zeros((), eta.dtype)
@@ -208,7 +250,8 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
         admixture_fullstep_biallelic, \
         admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
 
-    if cfg.mesh is not None and cfg.data_shards > 1:
+    if cfg.mesh is not None and (cfg.data_shards > 1
+                                 or cfg.model_shards > 1):
         return _em_step_bi_repr_meshed(params, md, cfg, want_ll)
 
     eta, p0 = params.eta, params.p
@@ -549,6 +592,100 @@ def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
     pc = p * B
     p_new = _normalize_p(pc, md, cfg)
     return Params(eta=eta_new, p=p_new), ll, scale
+
+
+def _bucket_sweep(eta, p_b, md_b, cfg, interpret, want_ll):
+    """One bucket's sweep statistics (A_b, t_b, B_b): Pallas fused-sweep
+    kernels on the f32 path, XLA matmuls otherwise.  A_b/t_b accumulate
+    across buckets in the caller; B_b is locus-local."""
+    K = p_b.shape[-3]
+    LM = md_b.L * md_b.M
+    p2 = p_b.reshape(K, LM)
+    if cfg.use_pallas != "off" and p_b.dtype == jnp.float32:
+        from multiclust_tpu.ops.kernels import admixture_sweep_fused, \
+            admixture_sweep_stats, fused_fits, pad_for_kernel
+        eta_p, p2_p, x2_p, (I, _, _) = pad_for_kernel(
+            eta, p2, md_b.x_storage_2d)
+        fn = (admixture_sweep_fused
+              if fused_fits(eta_p.shape[1], p2_p.shape[1])
+              else admixture_sweep_stats)
+        A_p, t_p, B_p = fn(eta_p, p2_p, x2_p, compute_t=want_ll,
+                           interpret=interpret)
+        return A_p[:I, :K], t_p[:I], B_p[:K, :LM]
+    x2 = md_b.x2d
+    denom = eta @ p2
+    w = _safe_div(x2, denom)
+    if want_ll:
+        t = jnp.sum(jnp.where(x2 > 0, x2 * safe_log(denom), 0.0), axis=1)
+    else:
+        t = jnp.zeros((md_b.I,), eta.dtype)
+    return w @ p2.T, t, eta.T @ w
+
+
+def _em_step_bucketed(params, bd, cfg, want_ll=True):
+    """Jagged-M admixture EM step over locus buckets (model/bucketed.py):
+    one sweep launch per bucket with that bucket's own allele ceiling -
+    A[i,k] and the logL terms t[i] accumulate across launches, the B/p
+    updates are locus-local per bucket, and the eta update runs once on
+    the merged A (em_alg.c:291-486/:592-754 restructured additively over
+    locus groups; the jagged `uniquealleles` semantics of
+    read_file.c:443-600 without M_max padding waste)."""
+    from multiclust_tpu.model.bucketed import split_params_like
+
+    params = split_params_like(params, bd)
+    eta = params.eta
+    interpret = cfg.use_pallas == "interpret"
+
+    A = None
+    per_i = None
+    new_ps = []
+    for md_b, p_b in zip(bd.buckets, params.p):
+        A_b, t_b, B2 = _bucket_sweep(eta, p_b, md_b, cfg, interpret,
+                                     want_ll)
+        A = A_b if A is None else A + A_b
+        per_i = t_b if per_i is None else per_i + t_b
+        B = B2.reshape(p_b.shape[-3], md_b.L, md_b.M)
+        if cfg.has_missing:
+            C = eta.T @ md_b.miss.astype(eta.dtype)
+            B = B + C[:, :, None]
+        pc = p_b * B
+        new_ps.append(_normalize_p(pc, md_b, cfg))
+
+    if cfg.has_missing:
+        c = sum(jnp.sum(md_b.miss.astype(A.dtype), axis=1, keepdims=True)
+                for md_b in bd.buckets)
+        A = A + c
+    eta_num = eta * A
+    tot_eta = jnp.sum(eta_num, axis=1, keepdims=True)
+    eta_new = jnp.where(tot_eta > 0,
+                        eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0),
+                        eta)
+    if cfg.do_projection:
+        eta_new = _project_eta_rows(eta_new, cfg)
+
+    if want_ll:
+        ll = df64.df_sum(per_i)
+        scale = jnp.sqrt(jnp.sum(per_i * per_i))
+    else:
+        z = jnp.zeros((), eta.dtype)
+        ll, scale = (z, z), z
+    return Params(eta=eta_new, p=tuple(new_ps)), ll, scale
+
+
+def log_likelihood_bucketed(params, bd):
+    """df64 logL over locus buckets (logL_admixture restructured)."""
+    from multiclust_tpu.model.bucketed import split_params_like
+
+    params = split_params_like(params, bd)
+    per_i = None
+    for md_b, p_b in zip(bd.buckets, params.p):
+        K = p_b.shape[-3]
+        p2 = p_b.reshape(K, -1)
+        denom = params.eta @ p2
+        x2 = md_b.x2d
+        t = jnp.sum(jnp.where(x2 > 0, x2 * safe_log(denom), 0.0), axis=1)
+        per_i = t if per_i is None else per_i + t
+    return df64.df_sum(per_i), jnp.sqrt(jnp.sum(per_i * per_i))
 
 
 def _em_step_constrained(params, md, cfg):

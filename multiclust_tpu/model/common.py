@@ -208,14 +208,15 @@ class EMConfig(NamedTuple):
         branch on it.  Affine parameter combinations (SQUAREM/QN points)
         preserve the complement structure exactly.  Missing data is
         handled in-kernel (the miss stream + c totals, em_alg.c:400-431),
-        so it does not gate the representation; a data-axis mesh runs the
-        kernels per shard with psum-merged B (model/admixture.py
-        _em_step_bi_repr_meshed) - only loci sharding (model_shards > 1)
-        falls back to the generic sharded sweep."""
+        so it does not gate the representation.  Under a mesh the kernels
+        run per shard (model/admixture._em_step_bi_repr_meshed): B0/B1
+        psum over the data axis; with loci ALSO sharded the raw A/t
+        accumulators psum over the model axis (emit_a kernels) and the
+        eta epilogue finishes in XLA - since round 4 no mesh shape
+        disables the representation."""
         return (self.use_pallas != "off" and self.admixture
                 and not self.eta_constrained and self.biallelic
-                and bool(self.k_true)
-                and (self.mesh is None or self.model_shards == 1))
+                and bool(self.k_true))
 
 
 def is_bi_repr(params: "Params") -> bool:

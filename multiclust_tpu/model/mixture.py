@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from multiclust_tpu.model.common import Array, EMConfig, ModelData, Params, \
     safe_log
@@ -136,6 +137,127 @@ def _bi_fast(md: ModelData, cfg: EMConfig) -> bool:
     return (cfg.biallelic and not cfg.has_missing and md.M == 2)
 
 
+def _kernel_ok(md: ModelData, cfg: EMConfig, params: Params) -> bool:
+    """Static gate for the fused Pallas mixture step (ops/kernels.py
+    mixture_sweep_resident / mixture_fullstep_biallelic): biallelic
+    panels, f32 compute, single device (meshed mixture fits stay on the
+    XLA/GSPMD formulation).
+
+    OPT-IN on real hardware (MULTICLUST_MIXTURE_KERNEL=1): the mixture
+    step at small K is f32-MXU CONTRACTION-bound - the E contraction
+    s = x @ d and M merge B = v^T x both contract over L with the K
+    output padded to 128 MXU lanes, ~175us/iter at the bench shape -
+    and the XLA formulation (with the x_bi aliases) already sits at that
+    roofline (372 Gcells/s measured vs 322 single-pass / 275 two-pass
+    kernel; BASELINE.md round-4 decomposition).  The kernels' halved
+    genotype traffic cannot pay for their poorer DMA/compute overlap.
+    Interpret mode stays on so the CPU parity suite exercises them."""
+    import os
+    if cfg.use_pallas == "on" and os.environ.get(
+            "MULTICLUST_MIXTURE_KERNEL", "0") != "1":
+        return False
+    return (cfg.use_pallas != "off" and cfg.biallelic and md.M == 2
+            and params.p.dtype == jnp.float32
+            and (cfg.mesh is None or
+                 (cfg.data_shards == 1 and cfg.model_shards == 1)))
+
+
+def _em_step_bi_kernel(params: Params, md: ModelData, cfg: EMConfig):
+    """Fused biallelic mixture step: scores/softmax/logL and the count
+    merges + p update run in two Pallas passes (ops/kernels.py has the
+    pass layout; e_step_mixture em_alg.c:763-897, m_step_mixture
+    :907-1011).  Missing-free panels stream x0 alone via the
+    x1 = ploidy - x0 fold (_scores_bi/_m_step_bi math); panels WITH
+    missing data stream both alleles (the mixture model simply skips
+    missing slots).  Parameters stay in the standard [K, L, 2] layout;
+    the [Kp, Lp] kernel pads are per-iteration glue (cheap at mixture's
+    O(K L) parameter sizes, unlike the admixture chains' p0
+    representation).  Returns None when no tile admits (caller falls
+    through to XLA)."""
+    from multiclust_tpu.model.common import k_padded_size
+    from multiclust_tpu.ops.kernels import mixture_fullstep_biallelic, \
+        mixture_sweep_resident, pick_layout_mixture, \
+        pick_layout_mixture_resident
+
+    K = params.K
+    Kp = k_padded_size(K, 32)
+    with_x1 = cfg.has_missing
+    # prefer the single-pass resident kernel (x read once); fall back to
+    # the two-pass split when the [ti, Lp] row block outgrows VMEM
+    rti, rIp, rLp = pick_layout_mixture_resident(md.I, Kp, md.L, with_x1)
+    if rti:
+        ti, tl, Ip, Lp = rti, 0, rIp, rLp
+    else:
+        ti, tl, Ip, Lp = pick_layout_mixture(md.I, Kp, md.L, with_x1)
+    if not ti:
+        return None
+    f32 = jnp.float32
+    dK, dL, dI = Kp - K, Lp - md.L, Ip - md.I
+
+    x0 = md.x_bi[0] if md.x_bi is not None else md.x[:, :, 0]
+    x1 = md.x_bi[1] if md.x_bi is not None else md.x[:, :, 1]
+    if dI or dL:  # x pads are loop-invariant: XLA hoists them
+        x0 = jnp.pad(x0, ((0, dI), (0, dL)))
+        x1 = jnp.pad(x1, ((0, dI), (0, dL)))
+
+    lp0 = safe_log(params.p[:, :, 0])                 # [K, L]
+    lp1 = safe_log(params.p[:, :, 1])
+    log_eta = safe_log(params.eta)                    # [K]
+    if with_x1:
+        blk0 = jnp.pad(lp0, ((0, dK), (0, dL)))
+        blk1 = jnp.pad(lp1, ((0, dK), (0, dL)))
+        bias_k = log_eta
+    else:
+        blk0 = jnp.pad(lp0 - lp1, ((0, dK), (0, dL)))
+        blk1 = None
+        bias_k = cfg.ploidy * jnp.sum(lp1, axis=1) + log_eta
+    # K-pad lanes at -1e30: their softmax mass is exactly zero
+    bias = jnp.full((1, Kp), -1e30, f32).at[0, :K].set(bias_k.astype(f32))
+
+    row_valid = md.row_valid
+    if dI:
+        in_range = jnp.arange(Ip) < md.I
+        row_valid = (in_range if row_valid is None
+                     else in_range & jnp.pad(row_valid, (0, dI)))
+
+    interpret = cfg.use_pallas == "interpret"
+    plb = float(cfg.p_lower_bound)
+    if rti:
+        v, t, b0, b1 = mixture_sweep_resident(
+            blk0, x0, bias, blk1, x1 if with_x1 else None, ti=ti,
+            interpret=interpret)
+        if row_valid is not None:
+            # pad rows carry softmax(bias) posteriors and garbage t;
+            # their x rows are zero so B never saw them, but vtot/eta/
+            # logL reductions must not
+            v = jnp.where(row_valid[:, None], v, 0.0)
+            t = jnp.where(row_valid, t, 0.0)
+        vsum = jnp.sum(v, axis=0)                     # [Kp], pads zero
+        pc0 = b0[:K, :md.L] + plb
+        if with_x1:
+            pc1 = b1[:K, :md.L] + plb
+        else:
+            pc1 = cfg.ploidy * vsum[:K, None] - b0[:K, :md.L] + plb
+        p0n = pc0 / (pc0 + pc1)
+        if cfg.do_projection:
+            ub = float(np.float32(1.0) - np.float32(
+                max(plb, float(np.finfo(np.float32).eps))))
+            p0n = jnp.clip(p0n, plb, ub)
+    else:
+        v, t, p0n = mixture_fullstep_biallelic(
+            blk0, x0, bias, blk1, x1 if with_x1 else None, row_valid,
+            ti=ti, tl=tl, plb=plb, ploidy=cfg.ploidy,
+            project=cfg.do_projection, interpret=interpret)
+        p0n = p0n[:K, :md.L]
+
+    ll = df64.df_sum(t)
+    scale = jnp.sqrt(jnp.sum(t * t))
+    v = v[:md.I, :K]
+    eta = _finish_eta(v, cfg)
+    p_new = jnp.stack([p0n, 1.0 - p0n], axis=-1)
+    return Params(eta=eta, p=p_new), ll, scale, v
+
+
 def em_step(params: Params, md: ModelData,
             cfg: EMConfig) -> Tuple[Params, df64.DF, Array, Array]:
     """One EM iteration: returns (new params, df64 logL(params), scale, v).
@@ -143,6 +265,10 @@ def em_step(params: Params, md: ModelData,
     As in the reference (em_step, em_alg.c:195-207) the returned logL is the
     likelihood of the INPUT parameters ("one step late").
     """
+    if _kernel_ok(md, cfg, params):
+        out = _em_step_bi_kernel(params, md, cfg)
+        if out is not None:
+            return out
     if _bi_fast(md, cfg):
         v, ll, scale = _posterior_and_ll(
             _scores_bi(params, md, cfg.ploidy), md.row_valid)

@@ -282,7 +282,8 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
 def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
                         tl: int, n_i: int, n_l: int, k_true: int,
                         lb: float, plb: float, project: bool,
-                        compute_t: bool, with_miss: bool, emit_b: bool):
+                        compute_t: bool, with_miss: bool, emit_b: bool,
+                        emit_a: bool = False):
     """Biallelic full EM step: see ``admixture_fullstep_biallelic``."""
     rest = list(rest)
     miss_ref = rest.pop(0) if with_miss else None
@@ -345,14 +346,22 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
 
     @pl.when(l_idx == n_l - 1)
     def _():
-        A = a_scr[:] + r_scr[:] + c_ref[:]
-        num = eta_ref[:] * A
-        tot = jnp.sum(num, axis=1, keepdims=True)
-        e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
-                       eta_ref[:])
-        if project:
-            e2 = _michelot_tile(e2, k_true, lb)
-        etan_ref[:] = e2
+        if emit_a:
+            # loci-sharded mesh: the shard's A covers only ITS loci, so
+            # the eta update cannot finish here - emit the raw A+r
+            # accumulator for the caller's psum over the model axis (c
+            # is a GLOBAL missing total: adding it per shard would count
+            # it model_shards times, so the caller adds it post-psum)
+            etan_ref[:] = a_scr[:] + r_scr[:]
+        else:
+            A = a_scr[:] + r_scr[:] + c_ref[:]
+            num = eta_ref[:] * A
+            tot = jnp.sum(num, axis=1, keepdims=True)
+            e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
+                           eta_ref[:])
+            if project:
+                e2 = _michelot_tile(e2, k_true, lb)
+            etan_ref[:] = e2
 
     # B complete at the very last grid step: the whole p update (M-step
     # normalization + biallelic closed-form projection) happens on-chip
@@ -381,11 +390,12 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
-    "interpret"))
+    "emit_a", "interpret"))
 def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
                                  tl: int, k_true: int, lb: float, plb: float,
                                  project: bool, compute_t: bool = True,
                                  emit_b: bool = False,
+                                 emit_a: bool = False,
                                  interpret: bool = False):
     """Fully fused biallelic (M=2, every locus 2 valid alleles) EM step.
 
@@ -410,13 +420,18 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
     p0_new [Kp, Lp] aliased onto p0).  With ``emit_b=True`` (mesh path)
     the in-kernel p update is skipped and the raw accumulators are
     returned instead: (eta_new, t, B0 [Kp, Lp], B1 [Kp, Lp]) - the caller
-    psums B across data shards and runs the p epilogue itself.
+    psums B across data shards and runs the p epilogue itself.  With
+    ``emit_a=True`` (loci-sharded mesh; requires emit_b) the eta update
+    is ALSO skipped: the first output is the raw per-individual A+r
+    accumulator over this shard's loci (c NOT added), psummed over the
+    model axis and finished by the caller.
     """
     I, Kp = eta.shape
     Lp = p0.shape[1]
     # Kp needs only 32-lane granularity here: the denominator contraction
     # is time-flat in Kp <= 128 while the A/B outputs scale with it
     assert I % ti == 0 and Lp % tl == 0 and Kp % 32 == 0, (I, ti, Lp, tl)
+    assert not emit_a or emit_b, "emit_a requires emit_b"
     n_i, n_l = I // ti, Lp // tl
     f32 = jnp.float32
     with_miss = miss is not None
@@ -456,7 +471,9 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
     if emit_b:
         out_specs += [kl_spec, kl_spec]
         out_shape += [kl_shape, kl_shape]
-        aliases = {0: 0}
+        # emit_a's first output is A, not eta': the eta buffer must
+        # survive for the caller's XLA epilogue, so no aliasing
+        aliases = {} if emit_a else {0: 0}
     else:
         out_specs.append(kl_spec)
         out_shape.append(kl_shape)
@@ -469,7 +486,7 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
         functools.partial(_fullstep_bi_kernel, tl=tl, n_i=n_i, n_l=n_l,
                           k_true=k_true, lb=lb, plb=plb, project=project,
                           compute_t=compute_t, with_miss=with_miss,
-                          emit_b=emit_b),
+                          emit_b=emit_b, emit_a=emit_a),
         grid=(n_i, n_l),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -608,7 +625,7 @@ def pick_layout_biallelic_any(I: int, Kp: int, L: int,
 def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
                       etan_ref, t_ref, a_scr, r_scr, *,
                       n_l: int, k_true: int, lb: float, project: bool,
-                      compute_t: bool):
+                      compute_t: bool, emit_a: bool = False):
     """Streamed pass A (grid i-outer, l-inner): per-individual statistics
     and the COMPLETE eta update; p0 streams through VMEM as [Kp, tl]
     blocks.  Same math as _fullstep_bi_kernel's A/t/eta side."""
@@ -639,14 +656,19 @@ def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
 
     @pl.when(l_idx == n_l - 1)
     def _():
-        A = a_scr[:] + r_scr[:] + c_ref[:]
-        num = eta_ref[:] * A
-        tot = jnp.sum(num, axis=1, keepdims=True)
-        e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
-                       eta_ref[:])
-        if project:
-            e2 = _michelot_tile(e2, k_true, lb)
-        etan_ref[:] = e2
+        if emit_a:
+            # loci-sharded mesh: raw A+r for the caller's model-axis
+            # psum (c is global - added post-psum by the caller)
+            etan_ref[:] = a_scr[:] + r_scr[:]
+        else:
+            A = a_scr[:] + r_scr[:] + c_ref[:]
+            num = eta_ref[:] * A
+            tot = jnp.sum(num, axis=1, keepdims=True)
+            e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
+                           eta_ref[:])
+            if project:
+                e2 = _michelot_tile(e2, k_true, lb)
+            etan_ref[:] = e2
 
 
 def _bi_lstats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, *rest,
@@ -711,13 +733,14 @@ def _bi_lstats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
-    "interpret"))
+    "emit_a", "interpret"))
 def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
                                           ti: int, tl: int, k_true: int,
                                           lb: float, plb: float,
                                           project: bool,
                                           compute_t: bool = True,
                                           emit_b: bool = False,
+                                          emit_a: bool = False,
                                           interpret: bool = False):
     """Biallelic full EM step for UNBOUNDED L: two passes, each streaming
     x once and p0 as [Kp, tl] blocks, with the eta update finished in pass
@@ -727,17 +750,22 @@ def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
     same contract and math as ``admixture_fullstep_biallelic`` (no buffer
     aliasing: both passes read the original eta/p0).  Cost vs the resident
     kernel: x/eta stream twice and the denominator matmul runs twice
-    (em_alg.c:435-445's memory/time trade, taken the opposite way)."""
+    (em_alg.c:435-445's memory/time trade, taken the opposite way).
+    ``emit_a`` (requires emit_b): pass A emits the raw A+r accumulator
+    instead of finishing the eta update (loci-sharded mesh - see
+    ``admixture_fullstep_biallelic``)."""
     I, Kp = eta.shape
     Lp = p0.shape[1]
     assert I % ti == 0 and Lp % tl == 0 and Kp % 32 == 0, (I, ti, Lp, tl)
+    assert not emit_a or emit_b, "emit_a requires emit_b"
     n_i, n_l = I // ti, Lp // tl
     f32 = jnp.float32
     with_miss = miss is not None
 
     etan, t_out = pl.pallas_call(
         functools.partial(_bi_istats_kernel, n_l=n_l, k_true=k_true, lb=lb,
-                          project=project, compute_t=compute_t),
+                          project=project, compute_t=compute_t,
+                          emit_a=emit_a),
         grid=(n_i, n_l),
         in_specs=[
             pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
@@ -800,6 +828,371 @@ def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
     if emit_b:
         return etan, t_out[:, 0], outs[0], outs[1]
     return etan, t_out[:, 0], outs
+
+
+# ---------------------------------------------------------------------------
+# mixture model (C7): fused biallelic full step
+#
+# The XLA mixture step (model/mixture.py) is two large matmuls plus glue,
+# but at small K it is HBM-bound on the genotype stream and the f32
+# materializations around it (BASELINE.md round-3: 124.5 Gcells/s vs the
+# admixture kernels' 233).  These kernels mirror the admixture two-pass
+# split (e_step_mixture em_alg.c:763-897 / m_step_mixture :907-1011):
+#
+#   pass A (grid i-outer, l-inner): scores s_ik accumulate in a [ti, Kp]
+#     VMEM block over l tiles (one int8 x tile -> MXU matmul each), then
+#     the row softmax, posterior v and per-individual logL (logsumexp)
+#     finish ON-CHIP at the last l step - nothing [I, LM]-sized exists.
+#   pass B (grid l-outer, i-inner): B0 = v^T @ x0 merges in [Kp, tl]
+#     scratch; the COMPLETE p update (p_lower_bound added BEFORE
+#     normalization - the reference's mixture/admixture asymmetry,
+#     em_alg.c:972 vs :713 - then the closed-form 2-simplex projection)
+#     runs at the last i step per l block.
+#
+# Missing-free panels (x1 = ploidy - x0 identically) stream x0 alone with
+# d = log p0 - log p1 folded scores and pc1 = ploidy*vtot - pc0 counts
+# (model/mixture._scores_bi math); with_x1=True streams both alleles and
+# covers missing data (the mixture model simply skips missing slots,
+# read_file.c:438 sort + m_start idiom).
+
+def _mix_scores_kernel(lp0_ref, x0_ref, *rest, n_l: int, with_x1: bool):
+    """Pass A: scores -> softmax -> (v, t).  lp0 is d = logp0 - logp1
+    (missing-free) or log p0 (with_x1); bias carries base + log eta with
+    K-pad lanes at -1e30 so their posterior mass is exactly zero."""
+    rest = list(rest)
+    if with_x1:
+        lp1_ref = rest.pop(0)
+        x1_ref = rest.pop(0)
+    bias_ref, v_ref, t_ref, s_scr = rest
+    l_idx = pl.program_id(1)
+
+    @pl.when(l_idx == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    x0 = x0_ref[:].astype(jnp.float32)
+    acc = jnp.dot(x0, lp0_ref[:].T, preferred_element_type=jnp.float32)
+    if with_x1:
+        x1 = x1_ref[:].astype(jnp.float32)
+        acc = acc + jnp.dot(x1, lp1_ref[:].T,
+                            preferred_element_type=jnp.float32)
+    s_scr[:] += acc
+
+    @pl.when(l_idx == n_l - 1)
+    def _():
+        s = s_scr[:] + bias_ref[:]
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        tot = jnp.sum(e, axis=1, keepdims=True)
+        v_ref[:] = e * _recip(tot)
+        t_ref[:] = jnp.log(tot) + m
+
+
+def _mix_counts_kernel(v_ref, x0_ref, *rest, n_i: int, plb: float,
+                       ploidy: int, project: bool, with_x1: bool):
+    """Pass B: expected counts + complete p update per l block."""
+    rest = list(rest)
+    x1_ref = rest.pop(0) if with_x1 else None
+    vtot_ref = None if with_x1 else rest.pop(0)
+    p0n_ref = rest.pop(0)
+    b0_scr = rest.pop(0)
+    b1_scr = rest.pop(0) if with_x1 else None
+    i_idx = pl.program_id(1)
+
+    @pl.when(i_idx == 0)
+    def _():
+        b0_scr[:] = jnp.zeros_like(b0_scr)
+        if with_x1:
+            b1_scr[:] = jnp.zeros_like(b1_scr)
+
+    v = v_ref[:]
+    b0_scr[:] += jnp.dot(v.T, x0_ref[:].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    if with_x1:
+        b1_scr[:] += jnp.dot(v.T, x1_ref[:].astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(i_idx == n_i - 1)
+    def _():
+        pc0 = b0_scr[:] + plb
+        if with_x1:
+            pc1 = b1_scr[:] + plb
+        else:
+            # sum_i v_ik x1_il = ploidy * vtot_k - B0_kl (x1 = ploidy-x0)
+            pc1 = ploidy * vtot_ref[:] - b0_scr[:] + plb
+        q0 = pc0 * _recip(pc0 + pc1)
+        if project:
+            ub = float(
+                np.float32(1.0)
+                - np.float32(max(plb, float(np.finfo(np.float32).eps))))
+            q0 = jnp.clip(q0, plb, ub)
+        p0n_ref[:] = q0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ti", "tl", "plb", "ploidy", "project", "interpret"))
+def mixture_fullstep_biallelic(lp0, x0, bias, lp1=None, x1=None,
+                               row_valid=None, *, ti: int, tl: int,
+                               plb: float, ploidy: int, project: bool,
+                               interpret: bool = False):
+    """Fused biallelic mixture EM step (see the pass A/B comment above).
+
+    Args: lp0 [Kp, Lp] (d = logp0 - logp1, or log p0 when x1 given),
+    x0 [I, Lp] allele-0 counts (any int dtype, pad rows/cols zero),
+    bias [1, Kp] = base + log eta (K-pads -1e30), optional lp1/x1 for the
+    two-stream (missing-data) variant, optional row_valid [I] bool
+    marking real individuals (kernel-pad AND mesh-pad rows False).
+    Returns (v [I, Kp] posteriors - pad rows zeroed, t [I] per-individual
+    logL terms - pad rows zeroed, p0_new [Kp, Lp]).  The eta update
+    (sum_i v / I + projection, m_step_mixture em_alg.c:930-944) is left
+    to the caller: it needs the masked global v sum anyway.
+    """
+    I, Lp = x0.shape
+    Kp = lp0.shape[0]
+    assert I % ti == 0 and Lp % tl == 0 and Kp % 32 == 0, (I, ti, Lp, tl)
+    n_i, n_l = I // ti, Lp // tl
+    f32 = jnp.float32
+    with_x1 = x1 is not None
+    assert (lp1 is not None) == with_x1
+
+    in_specs = [
+        pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [lp0, x0]
+    if with_x1:
+        in_specs += [
+            pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [lp1, x1]
+    in_specs.append(pl.BlockSpec((1, Kp), lambda i, l: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(bias)
+
+    v, t = pl.pallas_call(
+        functools.partial(_mix_scores_kernel, n_l=n_l, with_x1=with_x1),
+        grid=(n_i, n_l),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((I, Kp), f32),
+            jax.ShapeDtypeStruct((I, 1), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ti, Kp), f32)],
+        interpret=interpret,
+    )(*args)
+
+    # pad rows carry softmax(bias) posteriors and garbage t: zero them
+    # before anything reduces over i (their x0 rows are zero, so pass B's
+    # count matmuls never see them either way, but vtot/eta/logL do)
+    if row_valid is not None:
+        v = jnp.where(row_valid[:, None], v, 0.0)
+        t = jnp.where(row_valid[:, None], t, 0.0)
+
+    in_specs = [
+        pl.BlockSpec((ti, Kp), lambda l, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda l, i: (i, l),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [v, x0]
+    scratch = [pltpu.VMEM((Kp, tl), f32)]
+    if with_x1:
+        in_specs.append(pl.BlockSpec((ti, tl), lambda l, i: (i, l),
+                                     memory_space=pltpu.VMEM))
+        args.append(x1)
+        scratch.append(pltpu.VMEM((Kp, tl), f32))
+    else:
+        vtot = jnp.sum(v, axis=0)[:, None]            # [Kp, 1]
+        in_specs.append(pl.BlockSpec((Kp, 1), lambda l, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(vtot)
+
+    p0n = pl.pallas_call(
+        functools.partial(_mix_counts_kernel, n_i=n_i, plb=plb,
+                          ploidy=ploidy, project=project, with_x1=with_x1),
+        grid=(n_l, n_i),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Kp, tl), lambda l, i: (0, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Kp, Lp), f32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return v, t[:, 0], p0n
+
+
+def _mix_resident_kernel(lp0_ref, x0_ref, *rest, n_i: int,
+                         with_x1: bool):
+    """SINGLE-PASS mixture step: x is read from HBM exactly once.
+
+    The mixture posterior is row-local (softmax over the [ti, Kp] score
+    block), so with the whole [ti, Lp] x row-block in VMEM both the
+    E-step contraction s = x @ d^T and the M-step merge B += v^T @ x run
+    on the same resident tile - half the genotype traffic of any
+    two-pass split (and of the XLA formulation's two matmuls).  B stays
+    VMEM-resident across the grid (constant index map) like the
+    admixture fullstep's accumulator; vtot/eta/p epilogues are O(Kp Lp)
+    XLA glue."""
+    rest = list(rest)
+    if with_x1:
+        lp1_ref = rest.pop(0)
+        x1_ref = rest.pop(0)
+    bias_ref, v_ref, t_ref, b0_ref = rest[:4]
+    b1_ref = rest[4] if with_x1 else None
+    i_idx = pl.program_id(0)
+
+    @pl.when(i_idx == 0)
+    def _():
+        b0_ref[:] = jnp.zeros_like(b0_ref)
+        if with_x1:
+            b1_ref[:] = jnp.zeros_like(b1_ref)
+
+    x0 = x0_ref[:].astype(jnp.float32)
+    s = jnp.dot(x0, lp0_ref[:].T, preferred_element_type=jnp.float32)
+    if with_x1:
+        x1 = x1_ref[:].astype(jnp.float32)
+        s = s + jnp.dot(x1, lp1_ref[:].T,
+                        preferred_element_type=jnp.float32)
+    s = s + bias_ref[:]
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    tot = jnp.sum(e, axis=1, keepdims=True)
+    v = e * _recip(tot)
+    v_ref[:] = v
+    t_ref[:] = jnp.log(tot) + m
+    b0_ref[:] += jnp.dot(v.T, x0, preferred_element_type=jnp.float32)
+    if with_x1:
+        b1_ref[:] += jnp.dot(v.T, x1, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("ti", "interpret"))
+def mixture_sweep_resident(lp0, x0, bias, lp1=None, x1=None, *, ti: int,
+                           interpret: bool = False):
+    """Single-pass mixture sweep (see _mix_resident_kernel).  Same input
+    contract as ``mixture_fullstep_biallelic`` but returns the RAW
+    statistics (v [I, Kp], t [I], B0 [Kp, Lp] = v^T x0 and, two-stream,
+    B1) - the caller masks pad rows out of v/t before reducing and runs
+    the O(Kp Lp) eta/p epilogues in XLA."""
+    I, Lp = x0.shape
+    Kp = lp0.shape[0]
+    assert I % ti == 0 and Kp % 32 == 0, (I, ti, Kp)
+    n_i = I // ti
+    f32 = jnp.float32
+    with_x1 = x1 is not None
+
+    kl_spec = pl.BlockSpec((Kp, Lp), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [kl_spec,
+                pl.BlockSpec((ti, Lp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [lp0, x0]
+    if with_x1:
+        in_specs += [kl_spec,
+                     pl.BlockSpec((ti, Lp), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [lp1, x1]
+    in_specs.append(pl.BlockSpec((1, Kp), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(bias)
+
+    out_specs = [
+        pl.BlockSpec((ti, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        kl_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((I, Kp), f32),
+        jax.ShapeDtypeStruct((I, 1), f32),
+        jax.ShapeDtypeStruct((Kp, Lp), f32),
+    ]
+    if with_x1:
+        out_specs.append(kl_spec)
+        out_shape.append(jax.ShapeDtypeStruct((Kp, Lp), f32))
+
+    outs = pl.pallas_call(
+        functools.partial(_mix_resident_kernel, n_i=n_i, with_x1=with_x1),
+        grid=(n_i,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    v, t = outs[0], outs[1][:, 0]
+    if with_x1:
+        return v, t, outs[2], outs[3]
+    return v, t, outs[2], None
+
+
+def _mix_resident_fits(ti: int, Lp: int, Kp: int, with_x1: bool) -> bool:
+    """Scoped-vmem model for the single-pass kernel: the dominant terms
+    are the f32 cast of the resident x block (~2 live copies), the
+    double-buffered int8 x tiles, and the resident d/B [Kp, Lp] arrays;
+    the two-stream variant doubles all of them.  Threshold shared with
+    the calibrated streamed model (13 MB)."""
+    streams = 2 if with_x1 else 1
+    est = streams * (8 * ti * Lp     # f32 cast, ~2 live copies
+                     + 2 * ti * Lp   # int8 x tile, double-buffered
+                     + 8 * Kp * Lp)  # d + B accumulator, f32
+    return est <= 13 * 1024 * 1024
+
+
+# (ti,) ladder for the single-pass kernel; larger row blocks amortize
+# the resident d/B re-reads.  TPU-compile-verified by
+# scripts/tpu_compile_sweep.py.
+_MIX_RESIDENT_TI = (512, 256, 128, 64)
+
+
+def pick_layout_mixture_resident(I: int, Kp: int, L: int, with_x1: bool):
+    """(ti, Ip, Lp) for the single-pass mixture kernel, or (0, 0, 0)
+    when the x row-block does not fit VMEM at any ti (large L falls back
+    to the two-pass kernels / XLA).  Prefers the minimum row padding,
+    ties broken by the larger (faster) row block."""
+    Lp = _round_up(L, 128)
+    best = None
+    for ti in _MIX_RESIDENT_TI:
+        if _mix_resident_fits(ti, Lp, Kp, with_x1):
+            Ip = _round_up(I, ti)
+            if best is None or Ip < best[0]:
+                best = (Ip, ti)
+    if best is None:
+        return 0, 0, 0
+    return best[1], best[0], Lp
+
+
+# (ti, tl) ladder for the two-pass mixture kernels: nothing [Kp, Lp]-
+# sized is VMEM resident (scores/v are [ti, Kp], B0/B1 are [Kp, tl]
+# scratch), so the streamed-kernel vmem model applies with slightly
+# lighter elementwise pressure (one f32 cast chain, no reciprocals/logs
+# per cell).  Entries TPU-compile-verified by
+# scripts/tpu_compile_sweep.py.
+_MIX_TILES = (
+    (256, 2048), (512, 1024), (256, 1024), (512, 512), (256, 512),
+    (128, 512), (64, 512), (64, 256), (64, 128),
+)
+
+
+def pick_layout_mixture(I: int, Kp: int, L: int, with_x1: bool):
+    """(ti, tl, Ip, Lp) for the mixture biallelic kernels - rows pad to
+    ti (pad rows are masked out via row_valid), loci to tl; (0,)*4 when
+    the vmem model admits nothing."""
+    for ti, tl in _MIX_TILES:
+        # the two-stream variant doubles the x/lp streams: reuse the
+        # streamed-kernel budget with emit_b standing in for the extra
+        # resident [Kp, tl]/[ti, tl] blocks
+        if _stream_vmem_fits(ti, tl, Kp, emit_b=with_x1):
+            return ti, tl, _round_up(I, ti), _round_up(L, tl)
+    return 0, 0, 0, 0
 
 
 def _fused_kernel(eta_ref, p_ref, x_ref, a_ref, t_ref, b_ref, *, tl: int,

@@ -130,7 +130,10 @@ def model_em_step(params: Params, md: ModelData, cfg: EMConfig,
 
 def model_log_likelihood(params: Params, md: ModelData, cfg: EMConfig):
     if cfg.admixture:
+        from multiclust_tpu.model.bucketed import BucketedData
         from multiclust_tpu.model.common import is_bi_repr
+        if isinstance(md, BucketedData):
+            return admixture.log_likelihood_bucketed(params, md)
         if cfg.bi_repr_active and is_bi_repr(params):
             return admixture.log_likelihood_bi_repr(params, md)
         return admixture.log_likelihood(params, md)
@@ -388,6 +391,18 @@ def _project_params(params: Params, md: ModelData, cfg: EMConfig) -> Params:
     if not cfg.do_projection:
         return params
     eta = _project_eta_rows(params.eta, cfg)
+    if isinstance(params.p, tuple):
+        # jagged-M bucketed representation: project each bucket with its
+        # own mask/allele counts (model/bucketed.py)
+        ps = []
+        for md_b, pb in zip(md.buckets, params.p):
+            pb = project_rows(pb, md_b.mask[None], md_b.n_alleles[None, :],
+                              cfg.p_lower_bound)
+            kv = _k_valid(cfg, pb.shape[0])
+            if kv is not None:
+                pb = jnp.where(kv[:, None, None], pb, 0.0)
+            ps.append(pb)
+        return Params(eta=eta, p=tuple(ps))
     if cfg.bi_repr_active and is_bi_repr(params):
         # p0-representation: project the implicit (p0, 1-p0) pair - the
         # closed 2-simplex form is clip (ops/simplex.py M=2 branch).

@@ -137,7 +137,9 @@ def shard_chain_params(params_b: Params, mesh: Mesh) -> Params:
     """Place a chain-batch parameter pytree onto the mesh.  Mixture /
     constrained chains carry a [B, K] eta - replicated.  The biallelic
     p0-representation ([B, Kp, Lp] p, same ndim as eta) puts loci on the
-    model axis (inert: the representation requires model_shards == 1)."""
+    model axis (live when model_shards > 1: the emit_a kernels +
+    model-axis psums consume per-shard p0 blocks,
+    model/admixture._em_step_bi_repr_meshed)."""
     if params_b.eta.ndim < 3:
         specs = Params(eta=P(), p=P(None, None, MODEL_AXIS, None))
     elif params_b.p.ndim == params_b.eta.ndim:
@@ -172,8 +174,8 @@ def constrain_chain_state(state, mesh: Mesh):
 
     def p_spec(x):
         if bi_repr:
-            # p0-representation [.., Kp, Lp]: loci last (inert - the repr
-            # requires model_shards == 1, runtime/mesh.shard_chain_params)
+            # p0-representation [.., Kp, Lp]: loci (last axis) on the
+            # model axis (runtime/mesh.shard_chain_params)
             return c(x, P(*([None] * (x.ndim - 1) + [MODEL_AXIS])))
         return c(x, P(*([None] * (x.ndim - 3) + [None, MODEL_AXIS, None])))
 

@@ -85,18 +85,28 @@ def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
     """Convert K-padded full params to the biallelic p0-representation
     (model/common.EMConfig.bi_repr_active): p [.., Kp, L, 2] ->
     [.., Kp, Lp] holding allele-0 frequencies in the kernel tile layout.
-    No-op when inactive or the shapes don't tile."""
+    No-op when inactive or the shapes don't tile.
+
+    Under a LOCI-sharded mesh (model_shards > 1) the input L must
+    already be per-shard tile-aligned (the engine pads the fit data with
+    _loci_pad_target first): a tail pad here would land entirely on the
+    last model shard and misalign p0 columns against the x sharding."""
     if not cfg.bi_repr_active or params.p.ndim == params.eta.ndim:
         return params
     from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
     Kp = params.eta.shape[-1]
-    # under a mesh the kernels tile PER-SHARD rows with emit_b variants
-    # (same divisor/flags the meshed step uses,
+    dd, mm = cfg.data_shards, cfg.model_shards
+    meshed = dd > 1 or mm > 1
+    # under a mesh the kernels tile PER-SHARD rows/loci with emit_b
+    # variants (same divisors/flags the meshed step uses,
     # model/admixture._em_step_bi_repr_meshed)
-    ti, tl, Lp, _ = pick_layout_biallelic_any(
-        Ip // cfg.data_shards, Kp, L, emit_b=cfg.data_shards > 1)
-    if not ti:
+    if L % mm:
+        return params
+    ti, tl, Lp_loc, _ = pick_layout_biallelic_any(
+        Ip // dd, Kp, L // mm, emit_b=meshed)
+    if not ti or (mm > 1 and Lp_loc != L // mm):
         return params  # untileable: the glue fallback handles full p
+    Lp = Lp_loc if mm == 1 else L
     p0 = params.p[..., 0]
     d = Lp - p0.shape[-1]
     if d > 0:
@@ -107,7 +117,13 @@ def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
 
 def _unpad_k(params: Params, cfg: EMConfig,
              n_rows: Optional[int] = None,
-             n_loci: Optional[int] = None) -> Params:
+             n_loci: Optional[int] = None,
+             bd=None, M_full: Optional[int] = None) -> Params:
+    if isinstance(params.p, tuple):
+        # jagged-M bucketed representation: merge back to the dense
+        # original-order layout before any slicing (model/bucketed.py)
+        from multiclust_tpu.model.bucketed import merge_params_like
+        params = merge_params_like(params, bd, M_full)
     if cfg.bi_repr_active and params.p.ndim == params.eta.ndim:
         # reconstruct full p from the p0-representation (harvest time only)
         kt = cfg.k_true or params.p.shape[-2]
@@ -137,6 +153,31 @@ def _pad_params_loci(params: Params, Lp: int) -> Params:
         return params
     pw = [(0, 0)] * (params.p.ndim - 2) + [(0, d), (0, 0)]
     return params._replace(p=jnp.pad(params.p, pw))
+
+
+def _loci_pad_target(L: int, Ip: int, cfg: EMConfig) -> int:
+    """Loci count the fit data should pad to (global, pads at the tail).
+
+    Baseline: a multiple of model_shards so the L axis shards evenly.
+    When the biallelic p0-representation will run on a loci-sharded mesh,
+    each shard's local block must ALSO be kernel-tile-aligned - the
+    representation keeps p0 columns and x columns on the same shards, so
+    the alignment must happen in the GLOBAL padding, before conversion
+    (model/admixture._em_step_bi_repr_meshed layout contract).  Padded
+    loci are fully masked, hence inert (test_padded_rows_are_inert)."""
+    mm = cfg.model_shards
+    if mm <= 1:
+        return L
+    L_loc = -(-L // mm)
+    if cfg.bi_repr_active:
+        from multiclust_tpu.model.common import k_padded_size
+        from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
+        Kp = k_padded_size(cfg.k_true, 32)
+        ti, tl, Lp_loc, _ = pick_layout_biallelic_any(
+            max(Ip // cfg.data_shards, 1), Kp, L_loc, emit_b=True)
+        if ti:
+            L_loc = Lp_loc
+    return mm * L_loc
 
 
 def _row_pad_target(I: int, cfg: EMConfig) -> int:
@@ -173,6 +214,10 @@ def _row_pad_target(I: int, cfg: EMConfig) -> int:
 
 
 def _pad_md_rows(md: ModelData, Ip: int) -> ModelData:
+    from multiclust_tpu.model.bucketed import BucketedData
+    if isinstance(md, BucketedData):
+        return md._replace(buckets=tuple(_pad_md_rows(b, Ip)
+                                         for b in md.buckets))
     d = Ip - md.I
     if d <= 0:
         return md
@@ -277,10 +322,15 @@ def _batch_fns(cfg: EMConfig, segment: int):
     def init_one(params, md):
         # pad the chain rows/loci to the fit data's (possibly mesh-padded)
         # shape, rows further to the kernel tile target
+        from multiclust_tpu.model.bucketed import BucketedData, \
+            split_params_like
         Ip = _row_pad_target(md.I, cfg) or md.I
         params = _pad_params_rows(params, Ip, cfg)
-        params = _pad_params_loci(params, md.L)
-        params = _to_bi_repr(params, cfg, Ip, md.L)
+        if isinstance(md, BucketedData):
+            params = split_params_like(params, md)
+        else:
+            params = _pad_params_loci(params, md.L)
+            params = _to_bi_repr(params, cfg, Ip, md.L)
         return em_mod.init_state(params, cfg)
 
     def refill_one(state, params, replace, md):
@@ -513,7 +563,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     bool(faileds[lane]), bool(monos[lane]),
                     lambda ln=lane: _unpad_k(
                         tree_map(lambda t: t[ln], state.params), cfg,
-                        md.I, md.L),
+                        md.I, md.L, bd=md_fit, M_full=md.M),
                     timed_out, on_improve=on_improve, progress=progress)
                 if done:
                     return
@@ -560,7 +610,7 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                         bool(faileds[lane]), bool(monos[lane]),
                         lambda ln=lane: _unpad_k(
                             tree_map(lambda t: t[ln], state.params), cfg,
-                            md.I, md.L),
+                            md.I, md.L, bd=md_fit, M_full=md.M),
                         True, on_improve=on_improve, progress=progress):
                     return
             res.time_stop = True
@@ -595,6 +645,23 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     else:
         md_fit = md
 
+    # jagged-M panels (mixed SNP/microsatellite): bucket loci by allele
+    # count so each launch pads only to its own M ceiling
+    # (model/bucketed.py; SURVEY.md section 7 "hard parts").  Gated to
+    # unconstrained admixture off-mesh; worth it when the dense padding
+    # waste crosses ~25%.
+    bucketed = False
+    if (cfg.admixture and not cfg.eta_constrained and cfg.mesh is None
+            and md.M > 2):
+        from multiclust_tpu.model.bucketed import bucketize_model_data, \
+            plan_buckets, worth_bucketing
+        n_all = np.asarray(jax.device_get(md.n_alleles))
+        if worth_bucketing(n_all):
+            plan = plan_buckets(n_all, md.M)
+            if plan is not None:
+                md_fit = bucketize_model_data(md_fit, plan)
+                bucketed = True
+
     if cfg.mesh is not None:
         # multi-chip production path: pad individuals/loci to shardable
         # sizes (pads are inert, test_sharding) and place the fit data on
@@ -603,9 +670,8 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         # psum merges, and the Pallas kernels run per data shard under
         # jax.shard_map (model/admixture.py).
         from multiclust_tpu.runtime import mesh as mesh_mod
-        mm = cfg.model_shards
         Ip = _row_pad_target(md_fit.I, cfg) or md_fit.I
-        Lp = -(-md_fit.L // mm) * mm
+        Lp = _loci_pad_target(md_fit.L, Ip, cfg)
         md_fit = mesh_mod.pad_md_rows_loci(md_fit, Ip, Lp)
         md_fit = mesh_mod.shard_model_data(md_fit, cfg.mesh)
 
@@ -613,7 +679,9 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     # a mesh, so candidate scoring rides the same collectives as the fit
     # (padded rows/loci contribute zero logL; rand_em_initialize adapts
     # the candidate shapes).  Partition construction still uses `md`.
-    md_score = md_fit
+    # Bucketed fits score candidates on the dense md (candidates carry
+    # dense p; one-off init cost at the dense rate).
+    md_score = md if bucketed else md_fit
 
     if checkpoint_dir:
         from multiclust_tpu.runtime import checkpoint as ckpt
@@ -633,7 +701,8 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
             _pad_params_rows(params, md_fit.I, cfg), md_fit.L)
         state = k1(params, md_fit)
         ll = float(state.logL_hi + state.logL_lo)
-        res.best_params = _unpad_k(state.params, cfg, md.I, md.L)
+        res.best_params = _unpad_k(state.params, cfg, md.I, md.L,
+                                   bd=md_fit, M_full=md.M)
         res.max_logL = res.first_max_logL = ll
         res.aic = aic_fn(ll, n_parameters)
         res.bic = bic_fn(ll, n_parameters, md.I)
@@ -691,7 +760,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 bool(monos[lane]),
                 lambda ln=lane: _unpad_k(
                     tree_map(lambda t: t[ln], states.params), cfg,
-                    md.I, md.L),
+                    md.I, md.L, bd=md_fit, M_full=md.M),
                 timed_out, on_improve=on_improve, progress=progress)
             if done:
                 break
@@ -735,8 +804,14 @@ def _fit_serial_traced(key, md, md_fit, K, cfg, opt, codes, warm, t0,
     printer = make_trace_printer(opt.verbosity)
     params = _single_init(key, md, K, cfg, opt, codes, warm,
                           md_score=md_score)
-    params = _pad_params_loci(
-        _pad_params_rows(params, md_fit.I, cfg), md_fit.L)
+    from multiclust_tpu.model.bucketed import BucketedData, \
+        split_params_like
+    if isinstance(md_fit, BucketedData):
+        params = split_params_like(
+            _pad_params_rows(params, md_fit.I, cfg), md_fit)
+    else:
+        params = _pad_params_loci(
+            _pad_params_rows(params, md_fit.I, cfg), md_fit.L)
     res = fit(params, md_fit, cfg, n_seconds=opt.n_seconds, start_time=t0,
               trace=(lambda st, kind="EM": printer(st, kind))
               if printer else None)

@@ -136,9 +136,9 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
     skips completed replicates and reproduces the identical ts list (the
     per-chunk key splits are replayed from the saved key)."""
     from multiclust_tpu.init.random import codes_from_counts_jax, initialize
-    from multiclust_tpu.runtime.multistart import _pad_k, _pad_md_rows, \
-        _pad_params_loci, _pad_params_rows, _row_pad_target, _to_bi_repr, \
-        cfg_from_options
+    from multiclust_tpu.runtime.multistart import _loci_pad_target, \
+        _pad_k, _pad_md_rows, _pad_params_loci, _pad_params_rows, \
+        _row_pad_target, _to_bi_repr, cfg_from_options
 
     B = max(opt.n_init, 1)
     chunk = replicate_chunk(md, B, n_reps)
@@ -179,7 +179,7 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
                                       x_bi=None, miss_st=None)
             )(counts_b)
             Ip = _row_pad_target(md.I, cfg) or md.I
-            Lp = -(-md.L // cfg.model_shards) * cfg.model_shards
+            Lp = _loci_pad_target(md.L, Ip, cfg)
             md_fit_b = md_b
             if Ip != md.I or Lp != md.L:
                 from multiclust_tpu.runtime import mesh as mesh_mod

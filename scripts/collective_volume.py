@@ -70,8 +70,8 @@ def collective_bytes(hlo: str):
     return out
 
 
-def compiled_step_hlo(biallelic: bool):
-    mesh = mesh_mod.make_mesh((D, 1))
+def compiled_step_hlo(biallelic: bool, mm: int = 1):
+    mesh = mesh_mod.make_mesh((D // mm, mm))
     rng = np.random.default_rng(0)
     if biallelic:
         M = 2
@@ -91,8 +91,16 @@ def compiled_step_hlo(biallelic: bool):
     cfg = EMConfig(admixture=True, use_pallas="interpret", k_true=K,
                    biallelic=biallelic, has_missing=False, mesh=mesh)
     params = pad_params_k(params, k_padded_size(K, 32))
+    Lfit = L
+    if mm > 1:
+        # loci-sharded: the engine's per-shard tile-alignment contract
+        from multiclust_tpu.runtime.multistart import _loci_pad_target, \
+            _pad_params_loci
+        Lfit = _loci_pad_target(L, I, cfg)
+        md = mesh_mod.pad_md_rows_loci(md, I, Lfit)
+        params = _pad_params_loci(params, Lfit)
     if biallelic and cfg.bi_repr_active:
-        params = _to_bi_repr(params, cfg, I, L)
+        params = _to_bi_repr(params, cfg, I, Lfit)
     md = mesh_mod.shard_model_data(md.prepare_for_em(bi=biallelic), mesh)
 
     def step(pp, mm):
@@ -106,11 +114,16 @@ def compiled_step_hlo(biallelic: bool):
 def main():
     print(f"shape I={I} L={L} K={K} (Kp={k_padded_size(K, 32)}) "
           f"mesh=({D},1) data-parallel")
-    for bi in (True, False):
-        hlo, params = compiled_step_hlo(bi)
+    cases = [(True, 1), (False, 1)]
+    if D % 2 == 0:
+        cases.append((True, 2))  # loci-sharded p0-repr (round 4)
+    for bi, mm in cases:
+        hlo, params = compiled_step_hlo(bi, mm)
         vols = collective_bytes(hlo)
         total = sum(vols.values())
         label = "biallelic p0-repr" if bi else "generic (M=3)"
+        if mm > 1:
+            label += f" LOCI-SHARDED ({D//mm},{mm})"
         print(f"\n{label}: per-iteration collective payload")
         for k, v in sorted(vols.items()):
             print(f"  {k:20s} {v/1e6:10.3f} MB")
@@ -119,9 +132,12 @@ def main():
         Kp = params.eta.shape[-1]
         Lp = (params.p.shape[-1] if params.p.ndim == params.eta.ndim
               else params.p.shape[-2] * params.p.shape[-1])
-        b_bytes = (2 if bi else 1) * Kp * Lp * 4
-        print(f"  analytic B psum     {b_bytes/1e6:10.3f} MB "
-              f"(constant in shard count)")
+        b_bytes = (2 if bi else 1) * Kp * Lp * 4 // mm
+        note = ("constant in shard count" if mm == 1 else
+                f"PER-SHARD [Kp, L/{mm}]: the model axis splits the B "
+                f"reduction; + A/t psum over model = "
+                f"{(I // (D // mm)) * (Kp + 1) * 4 / 1e6:.3f} MB")
+        print(f"  analytic B psum     {b_bytes/1e6:10.3f} MB ({note})")
     print("""
 Scaling model (BASELINE config 5: I=100k, L=500k, K=20, v5e):
   per-iter compute   ~ I*L*2 cells / 200 Gcells/s / d  = 0.50 s / d

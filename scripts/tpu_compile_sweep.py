@@ -39,7 +39,8 @@ def _sds(shape, dtype):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False):
+def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False,
+               emit_a=False):
     Lp = (b_max // (Kp * 4)) // tl * tl
     if Lp == 0:
         return None
@@ -51,11 +52,13 @@ def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False):
         args.append(_sds((I, Lp), i8))
     kn.admixture_fullstep_biallelic.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
-        compute_t=compute_t, emit_b=emit_b, interpret=False).compile()
+        compute_t=compute_t, emit_b=emit_b, emit_a=emit_a,
+        interpret=False).compile()
     return (I, Kp, Lp)
 
 
-def compile_bi_streamed(ti, tl, Kp, compute_t, with_miss, emit_b=False):
+def compile_bi_streamed(ti, tl, Kp, compute_t, with_miss, emit_b=False,
+                        emit_a=False):
     # VMEM pressure is Lp-independent (everything is tile-blocked); a
     # moderate Lp keeps the grid real without a huge HLO
     Lp = 16 * tl
@@ -67,7 +70,44 @@ def compile_bi_streamed(ti, tl, Kp, compute_t, with_miss, emit_b=False):
         args.append(_sds((I, Lp), i8))
     kn.admixture_fullstep_biallelic_streamed.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
-        compute_t=compute_t, emit_b=emit_b, interpret=False).compile()
+        compute_t=compute_t, emit_b=emit_b, emit_a=emit_a,
+        interpret=False).compile()
+    return (I, Kp, Lp)
+
+
+def compile_mix_resident(ti, Kp, with_x1):
+    # largest Lp the budget model admits at this (ti, Kp)
+    Lp = 0
+    for cand in range(128, 1 << 18, 128):
+        if kn._mix_resident_fits(ti, cand, Kp, with_x1):
+            Lp = cand
+        else:
+            break
+    if Lp == 0:
+        return None
+    I = 2 * ti
+    f32, i8 = jnp.float32, jnp.int8
+    args = [_sds((Kp, Lp), f32), _sds((I, Lp), i8)]
+    kw = {}
+    if with_x1:
+        kw = dict(lp1=_sds((Kp, Lp), f32), x1=_sds((I, Lp), i8))
+    kn.mixture_sweep_resident.lower(
+        *args, _sds((1, Kp), f32), ti=ti, interpret=False,
+        **kw).compile()
+    return (I, Kp, Lp)
+
+
+def compile_mix_twopass(ti, tl, Kp, with_x1):
+    Lp = 8 * tl
+    I = 2 * ti
+    f32, i8 = jnp.float32, jnp.int8
+    kw = {}
+    if with_x1:
+        kw = dict(lp1=_sds((Kp, Lp), f32), x1=_sds((I, Lp), i8))
+    kn.mixture_fullstep_biallelic.lower(
+        _sds((Kp, Lp), f32), _sds((I, Lp), i8), _sds((1, Kp), f32),
+        row_valid=_sds((I,), jnp.bool_), ti=ti, tl=tl, plb=1e-8,
+        ploidy=2, project=True, interpret=False, **kw).compile()
     return (I, Kp, Lp)
 
 
@@ -106,21 +146,25 @@ def main() -> int:
         variants = [(True, True)] if args.fast else [
             (True, True), (True, False), (False, True), (False, False)]
         # emit_b = the mesh variant (B0/B1 as outputs for the cross-shard
-        # psum, no in-kernel p update): same resident count, swept too
-        emits = (False, True)
+        # psum, no in-kernel p update); (emit_b, emit_a) = the
+        # loci-sharded variant (raw A out too).  Kp swept past the
+        # production 32 lanes (advisor r3: intermediate lanes were
+        # interpolated, not probed)
+        emits = ((False, False), (True, False), (True, True))
         for ti, tl, b_max in kn._FULLSTEP_BI_TILES:
-            for Kp in (32,):
+            for Kp in ((32,) if args.fast else (32, 64, 128)):
                 for compute_t, with_miss in variants:
-                    for emit_b in (emits if compute_t and with_miss
-                                   else (False,)):
+                    for emit_b, emit_a in (emits if compute_t and with_miss
+                                           else ((False, False),)):
                         tag = (f"bi ti={ti} tl={tl} cap={b_max//1024}K "
                                f"Kp={Kp} t={int(compute_t)} "
-                               f"miss={int(with_miss)} eb={int(emit_b)}")
+                               f"miss={int(with_miss)} eb={int(emit_b)} "
+                               f"ea={int(emit_a)}")
                         t0 = time.time()
                         try:
                             shape = compile_bi(ti, tl, b_max, Kp,
                                                compute_t, with_miss,
-                                               emit_b)
+                                               emit_b, emit_a)
                             if shape is None:
                                 print(f"SKIP {tag} (no admissible Lp)")
                                 continue
@@ -136,20 +180,26 @@ def main() -> int:
         variants = [(True, True)] if args.fast else [
             (True, True), (True, False), (False, True), (False, False)]
         for ti, tl in kn._FULLSTEP_BI_STREAM_TILES:
-            for Kp in (32, 128):
+            for Kp in ((32, 128) if args.fast else (32, 64, 128, 256)):
                 if not kn._stream_vmem_fits(ti, tl, Kp):
                     continue
                 for compute_t, with_miss in variants:
-                    for emit_b in ((False, True)
-                                   if compute_t and with_miss
-                                   else (False,)):
+                    emit_pairs = (((False, False), (True, False),
+                                   (True, True))
+                                  if compute_t and with_miss
+                                  else ((False, False),))
+                    for emit_b, emit_a in emit_pairs:
+                        if emit_b and not kn._stream_vmem_fits(
+                                ti, tl, Kp, emit_b=True):
+                            continue
                         tag = (f"bi-stream ti={ti} tl={tl} Kp={Kp} "
                                f"t={int(compute_t)} miss={int(with_miss)} "
-                               f"eb={int(emit_b)}")
+                               f"eb={int(emit_b)} ea={int(emit_a)}")
                         t0 = time.time()
                         try:
                             shape = compile_bi_streamed(
-                                ti, tl, Kp, compute_t, with_miss, emit_b)
+                                ti, tl, Kp, compute_t, with_miss, emit_b,
+                                emit_a)
                             n_ok += 1
                             print(f"OK   {tag} shape={shape} "
                                   f"({time.time()-t0:.1f}s)")
@@ -158,10 +208,54 @@ def main() -> int:
                             print(f"FAIL {tag}: {type(e).__name__}: "
                                   f"{str(e)[:300]}", file=sys.stderr)
 
+    if not args.bi_only and not args.generic_only:
+        # mixture kernels (C7): resident single-pass at the largest
+        # admissible Lp per ti, plus the two-pass ladder
+        for ti in kn._MIX_RESIDENT_TI:
+            for Kp in ((32,) if args.fast else (32, 64, 128)):
+                for with_x1 in (False, True):
+                    tag = f"mix-res ti={ti} Kp={Kp} x1={int(with_x1)}"
+                    t0 = time.time()
+                    try:
+                        shape = compile_mix_resident(ti, Kp, with_x1)
+                        if shape is None:
+                            print(f"SKIP {tag} (no admissible Lp)")
+                            continue
+                        n_ok += 1
+                        print(f"OK   {tag} shape={shape} "
+                              f"({time.time()-t0:.1f}s)")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(tag)
+                        print(f"FAIL {tag}: {type(e).__name__}: "
+                              f"{str(e)[:300]}", file=sys.stderr)
+        for ti, tl in kn._MIX_TILES:
+            for Kp in ((32,) if args.fast else (32, 128)):
+                for with_x1 in (False, True):
+                    if not kn._stream_vmem_fits(ti, tl, Kp,
+                                                emit_b=with_x1):
+                        continue
+                    tag = f"mix-2p ti={ti} tl={tl} Kp={Kp} x1={int(with_x1)}"
+                    t0 = time.time()
+                    try:
+                        shape = compile_mix_twopass(ti, tl, Kp, with_x1)
+                        n_ok += 1
+                        print(f"OK   {tag} shape={shape} "
+                              f"({time.time()-t0:.1f}s)")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(tag)
+                        print(f"FAIL {tag}: {type(e).__name__}: "
+                              f"{str(e)[:300]}", file=sys.stderr)
+
     if not args.bi_only:
         variants_t = [True] if args.fast else [True, False]
+        # advisor r3: probe the intermediate Kp lanes the admission model
+        # (_fullstep_k_fits) interpolates between its calibration points
+        gen_lanes = (kn.GENERIC_K_LANES if args.fast
+                     else (32, 64, 96, 128, 160, 256, 512))
         for ti, tl, b_max in kn._FULLSTEP_TILES:
-            for Kp in getattr(kn, "GENERIC_K_LANES", (128,)):
+            for Kp in gen_lanes:
+                if not kn._fullstep_k_fits(ti, tl, Kp):
+                    continue
                 for compute_t in variants_t:
                     tag = (f"gen ti={ti} tl={tl} cap={b_max//1024}K "
                            f"Kp={Kp} t={int(compute_t)}")

@@ -185,3 +185,75 @@ def test_write_file_detail_bulk_matches_loop(tmp_path, rng):
         a = (out_a / f"x.str.admix.K={K}{suffix}").read_bytes()
         b = (out_b / f"x.str.admix.K={K}{suffix}").read_bytes()
         assert a == b, f"{suffix} diverged"
+
+
+def _write_snp_structure(path, rng, I=23, L=17, ploidy=2, missing=0.1,
+                         interleaved=False):
+    """Position-coded (0/1) biallelic STRUCTURE file with missing."""
+    hap = rng.integers(0, 2, size=(I * ploidy, L))
+    miss = rng.random((I * ploidy, L)) < missing
+    hap = np.where(miss, MISSING, hap)
+    with open(path, "w") as fh:
+        fh.write(" ".join(f"l{j}" for j in range(L)) + "\n")
+        if interleaved:
+            for i in range(I):
+                row = hap[i * ploidy:(i + 1) * ploidy].T.reshape(-1)
+                fh.write(f"i{i} p{i % 3} " + " ".join(map(str, row)) + "\n")
+        else:
+            for i in range(I):
+                for a in range(ploidy):
+                    fh.write(f"i{i} p{i % 3} "
+                             + " ".join(map(str, hap[i * ploidy + a]))
+                             + "\n")
+    return hap
+
+
+@pytest.mark.parametrize("interleaved", [False, True])
+@pytest.mark.parametrize("use_native", [True, False])
+def test_shard_reader_concat_equals_full(tmp_path, rng, interleaved,
+                                         use_native):
+    """read_structure_shard over a partition of [0, I) reproduces the
+    full single-host read exactly (counts/miss/n_alleles), for both row
+    layouts and both reader backends (native streaming range parse +
+    Python fallback) - the multi-host ingestion primitive (VERDICT r3
+    item 1; replaces read_file.c:38-300's whole-file read)."""
+    from multiclust_tpu.io.structure import (read_structure,
+                                             read_structure_shard,
+                                             scan_structure)
+
+    path = str(tmp_path / "snp.str")
+    _write_snp_structure(path, rng, interleaved=interleaved)
+    opt = Options(alleles_are_indices=True)
+    full = read_structure(path, opt)
+
+    n_rows, header_cols, n0, n1 = scan_structure(path,
+                                                 use_native=use_native)
+    assert header_cols == full.L
+    assert (n_rows == full.I) == interleaved
+
+    cuts = [0, 7, 8, 23]
+    parts = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        ds, I_total = read_structure_shard(path, lo, hi, opt)
+        assert I_total == full.I
+        parts.append(ds)
+    # global allele-count max across shards (runtime/ingest.py's sync)
+    M = max(p.M for p in parts)
+    counts = np.concatenate(
+        [np.pad(p.counts, ((0, 0), (0, 0), (0, M - p.M))) for p in parts])
+    np.testing.assert_array_equal(counts, full.counts)
+    np.testing.assert_array_equal(
+        np.concatenate([p.miss for p in parts]), full.miss)
+    np.testing.assert_array_equal(
+        np.maximum.reduce([p.n_alleles for p in parts]), full.n_alleles)
+    assert sum(([*p.names] for p in parts), []) == full.names
+
+
+def test_shard_reader_requires_position_codes(tmp_path, rng):
+    from multiclust_tpu.io.structure import read_structure_shard
+    from multiclust_tpu.messages import MulticlustError
+
+    path = str(tmp_path / "snp.str")
+    _write_snp_structure(path, rng)
+    with pytest.raises(MulticlustError):
+        read_structure_shard(path, 0, 4, Options(alleles_are_indices=False))

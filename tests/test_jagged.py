@@ -1,0 +1,144 @@
+"""Jagged-M locus bucketing (model/bucketed.py; VERDICT r3 item 5).
+
+Oracle parity on mixed panels (SNP M=2 + microsatellite M=8 loci,
+interleaved) and production-engine equivalence: the bucketed fit must
+reach the dense fit's optimum while doing only ~sum M_l worth of work.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiclust_tpu.model import admixture
+from multiclust_tpu.model.bucketed import (BucketedData,
+                                           bucketize_model_data,
+                                           jagged_savings, merge_params_like,
+                                           plan_buckets, split_params_like,
+                                           worth_bucketing)
+from multiclust_tpu.model.common import EMConfig, ModelData, Params
+from multiclust_tpu.ops import df64
+
+
+def make_mixed_panel(rng, I=40, L=100, K=3, missing=0.1, frac_snp=0.8):
+    """Interleaved mixed panel: ~frac_snp M=2 loci, the rest M=8."""
+    Ml = np.where(rng.random(L) < frac_snp, 2, 8)
+    M = int(Ml.max())
+    counts = np.zeros((I, L, M), np.int64)
+    miss = rng.binomial(2, missing, size=(I, L))
+    for i in range(I):
+        for l in range(L):
+            for _ in range(2 - miss[i, l]):
+                counts[i, l, rng.integers(0, Ml[l])] += 1
+    md = ModelData(x=jnp.asarray(counts, jnp.float64),
+                   miss=jnp.asarray(miss, jnp.float64),
+                   mask=jnp.asarray(np.arange(M)[None] < Ml[:, None]),
+                   n_alleles=jnp.asarray(Ml, jnp.int32))
+    p = rng.random((K, L, M)) * (np.arange(M)[None, None] < Ml[None, :, None])
+    p = p / p.sum(2, keepdims=True)
+    eta = rng.dirichlet(np.full(K, 2.0), size=I)
+    params = Params(eta=jnp.asarray(eta), p=jnp.asarray(p))
+    return md, params, Ml
+
+
+def test_plan_buckets_shape():
+    Ml = np.array([2] * 100 + [4] * 70 + [8] * 3 + [12] * 2)
+    plan = plan_buckets(Ml, 12, min_bucket=16)
+    assert plan is not None
+    # tiny M=8/M=12 runs merge upward into one bucket with ceiling 12
+    assert plan.ranges[-1][1] == Ml.size
+    assert plan.Ms[-1] == 12
+    assert all(m_lo <= m_hi for m_lo, m_hi in zip(plan.Ms, plan.Ms[1:]))
+    assert jagged_savings(np.full(10, 2)) == 0.0
+    assert worth_bucketing(Ml)
+    # uniform panels never bucket
+    assert plan_buckets(np.full(50, 2), 2) is None
+
+
+@pytest.mark.parametrize("missing", [0.0, 0.15])
+def test_bucketed_step_matches_dense(rng, missing):
+    """One bucketed EM step == the dense step to f64 roundoff (A/t
+    accumulate across launches, B/p locus-local; em_alg.c:291-486)."""
+    md, params, Ml = make_mixed_panel(rng, missing=missing)
+    cfg = EMConfig(admixture=True, has_missing=missing > 0)
+    ref, llr, _ = admixture.em_step(params, md, cfg)
+
+    plan = plan_buckets(np.asarray(Ml), md.M, min_bucket=4)
+    bd = bucketize_model_data(md, plan)
+    out, llb, _ = admixture.em_step(params, bd, cfg)
+    got = merge_params_like(out, bd, md.M)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.eta), np.asarray(ref.eta),
+                               atol=1e-12)
+    assert abs(float(df64.df_value(llr))
+               - float(df64.df_value(llb))) < 1e-8
+    # logL function parity (accelerated accept tests use it)
+    ll2, _ = admixture.log_likelihood_bucketed(params, bd)
+    assert abs(float(df64.df_value(ll2))
+               - float(df64.df_value(llr))) < 1e-8
+
+
+def test_bucketed_pallas_sweep_matches(rng):
+    """The per-bucket Pallas fused-sweep path (interpret mode, f32, int8
+    storage) matches the dense XLA step."""
+    md, params, Ml = make_mixed_panel(rng, missing=0.1)
+    md8 = md._replace(x=md.x.astype(jnp.int8), miss=md.miss.astype(jnp.int8))
+    params32 = Params(eta=params.eta.astype(jnp.float32),
+                      p=params.p.astype(jnp.float32))
+    cfg = EMConfig(admixture=True, has_missing=True)
+    ref, llr, _ = admixture.em_step(
+        params32, md._replace(x=md.x.astype(jnp.float32),
+                              miss=md.miss.astype(jnp.float32)), cfg)
+
+    plan = plan_buckets(np.asarray(Ml), md.M, min_bucket=4)
+    bd = bucketize_model_data(md8, plan).prepare_for_em()
+    cfg_k = cfg._replace(use_pallas="interpret")
+    out, llb, _ = admixture.em_step(params32, bd, cfg_k)
+    got = merge_params_like(out, bd, md.M)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.eta), np.asarray(ref.eta),
+                               rtol=2e-4, atol=1e-5)
+    assert abs(float(df64.df_value(llb))
+               - float(df64.df_value(llr))) < 5e-2
+
+
+@pytest.mark.parametrize("accel", [0, 1])
+def test_bucketed_production_engine(rng, accel):
+    """The multi-start engine auto-buckets jagged admixture fits (plain
+    and SQUAREM-accelerated: ring buffers / projections / guarded accept
+    all ride the tuple-p pytree) and reaches the dense fit's optimum."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    import multiclust_tpu.model.bucketed as bk
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    md, _, Ml = make_mixed_panel(rng, I=36, L=60, missing=0.1)
+    codes = jnp.asarray(codes_from_counts(
+        np.asarray(md.x, np.int64), np.asarray(md.miss, np.int64), 2))
+    base = dict(admixture=True, n_init=3, batch_chains=3, min_K=3,
+                max_K=3, dtype="float64", n_rand_em_init=3,
+                accel_scheme=accel, adjust_step=2 if accel else 0)
+    opt = Options(**base).synchronize(md.I, 2)
+
+    assert worth_bucketing(np.asarray(Ml))
+    res_b = maximize_likelihood(jax.random.PRNGKey(3), md, 3, opt,
+                                n_parameters=50, codes=codes)
+    # dense reference: disable the bucketing gate
+    orig = bk.worth_bucketing
+    bk.worth_bucketing = lambda *a, **k: False
+    try:
+        res_d = maximize_likelihood(jax.random.PRNGKey(3), md, 3, opt,
+                                    n_parameters=50, codes=codes)
+    finally:
+        bk.worth_bucketing = orig
+    assert res_b.ever_converged
+    assert res_b.best_params.p.shape == res_d.best_params.p.shape
+    assert abs(res_b.max_logL - res_d.max_logL) < 1e-6, \
+        (res_b.max_logL, res_d.max_logL)
+    np.testing.assert_allclose(np.asarray(res_b.best_params.p),
+                               np.asarray(res_d.best_params.p), atol=1e-6)
+    # dense padded lanes restored as exact zeros in original locus order
+    mask = np.asarray(md.mask)
+    assert (np.asarray(res_b.best_params.p)[:, ~mask] == 0).all()

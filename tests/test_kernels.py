@@ -581,3 +581,105 @@ def test_generic_layout_large_k_guard():
     # a K=500 fit picks an admissible tile rather than a compile OOM
     ti, tl, LMp = pick_layout(2048, 512, 2048)
     assert (ti, tl) == (0, 0) or ti * tl <= 256 * 512
+
+
+# ---------------------------------------------------------------------------
+# mixture fullstep kernels (C7)
+
+@pytest.mark.parametrize("variant", ["resident", "two-pass"])
+@pytest.mark.parametrize("missing_rate", [0.0, 0.15])
+def test_mixture_fullstep_matches_xla(missing_rate, variant, monkeypatch):
+    """Fused biallelic mixture step (ops/kernels.mixture_sweep_resident
+    single-pass / mixture_fullstep_biallelic two-pass, via
+    model/mixture._em_step_bi_kernel) == the XLA path, covering the
+    single-stream x1=ploidy-x0 fold (missing-free) and the two-stream
+    missing-data variant, with I=70 exercising the row-pad/row_valid
+    masking."""
+    from multiclust_tpu.model import mixture
+    from multiclust_tpu.model.common import ModelData
+
+    if variant == "two-pass":  # force the fallback split
+        import multiclust_tpu.ops.kernels as kmod
+        monkeypatch.setattr(kmod, "pick_layout_mixture_resident",
+                            lambda *a, **k: (0, 0, 0))
+
+    rng = np.random.default_rng(5)
+    I, L, K = 70, 50, 3
+    miss = rng.binomial(2, missing_rate, size=(I, L))
+    x0 = rng.binomial(2 - miss, rng.uniform(0.2, 0.8, size=(1, L)))
+    counts = np.stack([x0, 2 - miss - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.asarray(miss, jnp.int8),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32)
+                   ).prepare_for_em(bi=True)
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    params = Params(eta=jnp.asarray(rng.dirichlet(np.full(K, 2.0)),
+                                    jnp.float32),
+                    p=jnp.asarray(np.stack([p0t, 1 - p0t], -1), jnp.float32))
+    cfg_x = EMConfig(admixture=False, biallelic=True,
+                     has_missing=missing_rate > 0, ploidy=2)
+    cfg_k = cfg_x._replace(use_pallas="interpret")
+
+    ref, llr, _, vr = mixture.em_step(params, md, cfg_x)
+    assert mixture._kernel_ok(md, cfg_k, params)
+    new, llk, _, vk = mixture.em_step(params, md, cfg_k)
+    np.testing.assert_allclose(np.asarray(vk), np.asarray(vr),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.eta), np.asarray(ref.eta),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new.p), np.asarray(ref.p),
+                               rtol=2e-4, atol=1e-5)
+    assert abs(float(df64.df_value(llk)) - float(df64.df_value(llr))) < 1e-2
+
+
+def test_mixture_kernel_production_engine():
+    """The multi-start engine reaches the same optimum through the fused
+    mixture kernels as through XLA (mixture fits dispatch inside
+    model/mixture.em_step - no engine plumbing)."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.model.common import ModelData
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    rng = np.random.default_rng(9)
+    I, L, K = 48, 30, 2
+    pop = rng.integers(0, 2, I)
+    freq = np.where(pop[:, None] == 0,
+                    rng.uniform(0.7, 0.95, (1, L)),
+                    rng.uniform(0.05, 0.3, (1, L)))
+    x0 = rng.binomial(2, freq)
+    counts = np.stack([x0, 2 - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.int8),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    results = {}
+    for up in (False, True):
+        opt = Options(admixture=False, n_init=3, min_K=K, max_K=K,
+                      use_pallas=up, batch_chains=3)
+        opt = opt.synchronize(I, 2)
+        import multiclust_tpu.runtime.multistart as ms
+        orig = ms.cfg_from_options
+        if up:  # CPU tests: interpret-mode kernels
+            ms.cfg_from_options = lambda o, k, m=None: orig(
+                o, k, m)._replace(use_pallas="interpret")
+        try:
+            res = maximize_likelihood(jax.random.PRNGKey(1), md, K, opt,
+                                      n_parameters=2 * L + 1)
+        finally:
+            ms.cfg_from_options = orig
+        results[up] = res
+    assert np.isfinite(results[True].max_logL)
+    assert abs(results[True].max_logL - results[False].max_logL) < 0.5
+    assert results[True].ever_converged
+
+
+def test_mixture_layout_chooser():
+    from multiclust_tpu.ops.kernels import pick_layout_mixture
+
+    ti, tl, Ip, Lp = pick_layout_mixture(70, 32, 50, with_x1=False)
+    assert ti and Ip % ti == 0 and Lp % tl == 0 and Ip >= 70 and Lp >= 50
+    # two-stream variant never picks a bigger tile than single-stream
+    t1 = pick_layout_mixture(16384, 128, 2048, with_x1=False)
+    t2 = pick_layout_mixture(16384, 128, 2048, with_x1=True)
+    assert t1[0] * t1[1] >= t2[0] * t2[1]

@@ -197,7 +197,7 @@ def our_throughput(I=16384, L=2048, M=2, K=20, steps=400, repeats=3,
 
 
 def jagged_throughput(I=16384, L=2048, K=20, frac_snp=0.8, M_big=8,
-                      steps=100, repeats=3):
+                      steps=400, repeats=3):
     """BENCH_JAGGED=1: mixed-M panel (frac_snp M=2 loci + the rest
     M=8, interleaved).  Reports USEFUL genotype-cells/s (I * sum_l M_l
     per sweep) for the bucketed representation (model/bucketed.py);
@@ -245,6 +245,11 @@ def jagged_throughput(I=16384, L=2048, K=20, frac_snp=0.8, M_big=8,
         plan = plan_buckets(Ml, M)
         md_fit = bucketize_model_data(md, plan)
 
+    # mirror the main bench's adaptive-steady-state semantics
+    interval = max(1, int(os.environ.get("BENCH_INTERVAL", "16")))
+    n_macro = max(1, steps // interval)
+    steps = n_macro * interval
+
     @jax.jit
     def run(params, md_fit):
         md_p = md_fit.prepare_for_em()
@@ -254,10 +259,15 @@ def jagged_throughput(I=16384, L=2048, K=20, frac_snp=0.8, M_big=8,
             params0 = split_params_like(params, md_p)
         else:
             params0 = params
-        def body(_, pp):
+        def blind(_, pp):
+            new, _, _ = em_step(pp, md_p, cfg, want_ll=False)
+            return new
+        def macro(_, pp):
+            if interval > 1:
+                pp = jax.lax.fori_loop(0, interval - 1, blind, pp)
             new, _, _ = em_step(pp, md_p, cfg)
             return new
-        return jax.lax.fori_loop(0, steps, body, params0)
+        return jax.lax.fori_loop(0, n_macro, macro, params0)
 
     out = run(params, md_fit)
     float(jax.tree_util.tree_leaves(out.p)[0].reshape(-1)[0])

@@ -594,24 +594,11 @@ def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
     return Params(eta=eta_new, p=p_new), ll, scale
 
 
-def _bucket_sweep(eta, p_b, md_b, cfg, interpret, want_ll):
-    """One bucket's sweep statistics (A_b, t_b, B_b): Pallas fused-sweep
-    kernels on the f32 path, XLA matmuls otherwise.  A_b/t_b accumulate
-    across buckets in the caller; B_b is locus-local."""
+def _bucket_sweep(eta, p_b, md_b, cfg, want_ll):
+    """One bucket's XLA sweep statistics (A_b, t_b, B_b); A_b/t_b
+    accumulate across buckets in the caller, B_b is locus-local."""
     K = p_b.shape[-3]
-    LM = md_b.L * md_b.M
-    p2 = p_b.reshape(K, LM)
-    if cfg.use_pallas != "off" and p_b.dtype == jnp.float32:
-        from multiclust_tpu.ops.kernels import admixture_sweep_fused, \
-            admixture_sweep_stats, fused_fits, pad_for_kernel
-        eta_p, p2_p, x2_p, (I, _, _) = pad_for_kernel(
-            eta, p2, md_b.x_storage_2d)
-        fn = (admixture_sweep_fused
-              if fused_fits(eta_p.shape[1], p2_p.shape[1])
-              else admixture_sweep_stats)
-        A_p, t_p, B_p = fn(eta_p, p2_p, x2_p, compute_t=want_ll,
-                           interpret=interpret)
-        return A_p[:I, :K], t_p[:I], B_p[:K, :LM]
+    p2 = p_b.reshape(K, md_b.L * md_b.M)
     x2 = md_b.x2d
     denom = eta @ p2
     w = _safe_div(x2, denom)
@@ -620,6 +607,156 @@ def _bucket_sweep(eta, p_b, md_b, cfg, interpret, want_ll):
     else:
         t = jnp.zeros((md_b.I,), eta.dtype)
     return w @ p2.T, t, eta.T @ w
+
+
+def _finish_bucket_p(p_b, B2, md_b, eta, cfg):
+    """Per-bucket p epilogue: missing mass + normalization + projection
+    (locus-local, em_alg.c:592-754)."""
+    B = B2.reshape(p_b.shape[-3], md_b.L, md_b.M)
+    if cfg.has_missing:
+        C = eta.T @ md_b.miss.astype(eta.dtype)
+        B = B + C[:, :, None]
+    return _normalize_p(p_b * B, md_b, cfg)
+
+
+def _bucketed_p_epilogue(Bs, params, bd, cfg, eta):
+    """ONE consolidated p epilogue over all buckets (sorted locus
+    order): missing mass, normalization and projection are latency-bound
+    in XLA op COUNT, not work, so n_buckets separate epilogues cost
+    ~n_buckets x the single dense one (round-4 probes: ~150 us/launch of
+    small-op dispatch).  ``Bs`` are the per-bucket [K, LM_b] p-update
+    numerators."""
+    M_max = bd.M
+    pcs = []
+    for md_b, p_b, B2 in zip(bd.buckets, params.p, Bs):
+        B = B2.reshape(p_b.shape[-3], md_b.L, md_b.M)
+        if cfg.has_missing:
+            Cb = eta.T @ md_b.miss.astype(eta.dtype)
+            B = B + Cb[:, :, None]
+        pc = p_b * B
+        if md_b.M < M_max:
+            pc = jnp.pad(pc, ((0, 0), (0, 0), (0, M_max - md_b.M)))
+        pcs.append(pc)
+    pc_all = jnp.concatenate(pcs, axis=1)              # [K, L, M_max]
+    mask_all = jnp.concatenate(
+        [jnp.pad(b.mask, ((0, 0), (0, M_max - b.M))) for b in bd.buckets],
+        axis=0)                                        # loop-invariant
+    n_all = jnp.concatenate([b.n_alleles for b in bd.buckets])
+    md_like = bd.buckets[0]._replace(mask=mask_all, n_alleles=n_all)
+    p_dense = _normalize_p(pc_all, md_like, cfg)
+    new_ps = []
+    lo = 0
+    for b in bd.buckets:
+        new_ps.append(p_dense[:, lo:lo + b.L, :b.M])
+        lo += b.L
+    return tuple(new_ps)
+
+
+def _bucketed_fullstep_fused(params, bd, cfg, want_ll):
+    """Jagged-M Pallas path: the admixture kernel treats every (l, m)
+    LANE independently - locus structure only matters in the p epilogue
+    - so the WHOLE jagged panel runs as ONE fullstep launch over the
+    concatenated bucket lane matrix (bd.x_lanes), at uniform-kernel
+    efficiency with zero M_max padding (em_alg.c:291-486 restructured
+    over the jagged `uniquealleles` lane space of read_file.c:443-600).
+    The in-kernel eta update (normalize + Michelot) and the resident B
+    accumulator work exactly as in the uniform case; B splits back per
+    bucket for the consolidated locus-local p epilogue.  Falls back to
+    the chained per-bucket variant (B beyond the VMEM budget) and then
+    to XLA matmuls when shapes don't admit."""
+    from multiclust_tpu.ops.kernels import admixture_fullstep, pick_layout
+
+    eta = params.eta
+    K = eta.shape[-1]
+    lane_sizes = [md_b.L * md_b.M for md_b in bd.buckets]
+    LM = sum(lane_sizes)
+    ti, tl, LMp = pick_layout(bd.I, K, LM)
+    if not ti or LMp != LM:
+        # bucket lane counts are 1024-multiples (model/bucketed._pad_L),
+        # so any admissible tile divides LM exactly; LMp > LM would mean
+        # a non-hoisted per-iteration x pad - decline instead
+        return None
+    x2 = bd.x_lanes
+    if x2 is None:
+        x2 = jnp.concatenate(
+            [md_b.x_storage_2d for md_b in bd.buckets], axis=1)
+    p2 = jnp.concatenate(
+        [p_b.reshape(K, n) for p_b, n in zip(params.p, lane_sizes)],
+        axis=1)
+    c = (sum(jnp.sum(md_b.miss.astype(eta.dtype), axis=1, keepdims=True)
+             for md_b in bd.buckets) if cfg.has_missing
+         else jnp.zeros((bd.I, 1), eta.dtype))
+    eta_new, per_i, B = admixture_fullstep(
+        eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
+        lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
+        compute_t=want_ll, interpret=cfg.use_pallas == "interpret")
+    Bs = []
+    lo = 0
+    for n in lane_sizes:
+        Bs.append(B[:, lo:lo + n])
+        lo += n
+    new_ps = _bucketed_p_epilogue(Bs, params, bd, cfg, eta)
+    if want_ll:
+        ll = df64.df_sum(per_i)
+        scale = jnp.sqrt(jnp.sum(per_i * per_i))
+    else:
+        z = jnp.zeros((), eta.dtype)
+        ll, scale = (z, z), z
+    return Params(eta=eta_new, p=new_ps), ll, scale
+
+
+def _bucketed_fullstep_chain(params, bd, cfg, want_ll):
+    """Chained per-bucket FULLSTEP launches for jagged panels whose
+    concatenated lane space exceeds the fused kernel's resident-B
+    budget: the per-individual A accumulator THREADS through the chain
+    (a0 input, ops/kernels.admixture_fullstep) - non-final buckets emit
+    raw A (emit_a), the final bucket adds the missing totals and
+    finishes the eta update on-chip.  Returns None when a bucket's
+    shape doesn't tile (caller falls back to the XLA loop)."""
+    from multiclust_tpu.ops.kernels import admixture_fullstep, pick_layout
+
+    eta = params.eta
+    K = eta.shape[-1]
+    layouts = [pick_layout(bd.I, K, md_b.L * md_b.M) for md_b in bd.buckets]
+    if any(ti == 0 for ti, _, _ in layouts):
+        return None
+    interpret = cfg.use_pallas == "interpret"
+    zero_c = jnp.zeros((bd.I, 1), eta.dtype)
+    c = zero_c
+    if cfg.has_missing:
+        c = sum(jnp.sum(md_b.miss.astype(eta.dtype), axis=1, keepdims=True)
+                for md_b in bd.buckets)
+
+    a0 = None
+    per_i = None
+    Bs = []
+    n = len(bd.buckets)
+    for j, (md_b, p_b) in enumerate(zip(bd.buckets, params.p)):
+        ti, tl, LMp = layouts[j]
+        LM = md_b.L * md_b.M
+        p2 = p_b.reshape(K, LM)
+        x2 = md_b.x_storage_2d
+        if LMp != LM:  # loop-invariant x pad (lane counts tile-aligned
+            p2 = jnp.pad(p2, ((0, 0), (0, LMp - LM)))   # by _pad_L, so
+            x2 = jnp.pad(x2, ((0, 0), (0, LMp - LM)))   # normally 0)
+        last = j == n - 1
+        aout, t_b, B = admixture_fullstep(
+            eta, p2, x2, c if last else zero_c, a0,
+            ti=ti, tl=tl, k_true=cfg.k_true,
+            lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
+            compute_t=want_ll, emit_a=not last, interpret=interpret)
+        per_i = t_b if per_i is None else per_i + t_b
+        Bs.append(B[:, :LM])
+        a0 = aout  # raw A for the next launch; eta_new on the last
+
+    new_ps = _bucketed_p_epilogue(Bs, params, bd, cfg, eta)
+    if want_ll:
+        ll = df64.df_sum(per_i)
+        scale = jnp.sqrt(jnp.sum(per_i * per_i))
+    else:
+        z = jnp.zeros((), eta.dtype)
+        ll, scale = (z, z), z
+    return Params(eta=a0, p=new_ps), ll, scale
 
 
 def _em_step_bucketed(params, bd, cfg, want_ll=True):
@@ -634,22 +771,23 @@ def _em_step_bucketed(params, bd, cfg, want_ll=True):
 
     params = split_params_like(params, bd)
     eta = params.eta
-    interpret = cfg.use_pallas == "interpret"
+
+    if (cfg.use_pallas != "off" and eta.dtype == jnp.float32
+            and cfg.k_true and eta.shape[-1] % 32 == 0):
+        out = _bucketed_fullstep_fused(params, bd, cfg, want_ll)
+        if out is None:
+            out = _bucketed_fullstep_chain(params, bd, cfg, want_ll)
+        if out is not None:
+            return out
 
     A = None
     per_i = None
     new_ps = []
     for md_b, p_b in zip(bd.buckets, params.p):
-        A_b, t_b, B2 = _bucket_sweep(eta, p_b, md_b, cfg, interpret,
-                                     want_ll)
+        A_b, t_b, B2 = _bucket_sweep(eta, p_b, md_b, cfg, want_ll)
         A = A_b if A is None else A + A_b
         per_i = t_b if per_i is None else per_i + t_b
-        B = B2.reshape(p_b.shape[-3], md_b.L, md_b.M)
-        if cfg.has_missing:
-            C = eta.T @ md_b.miss.astype(eta.dtype)
-            B = B + C[:, :, None]
-        pc = p_b * B
-        new_ps.append(_normalize_p(pc, md_b, cfg))
+        new_ps.append(_finish_bucket_p(p_b, B2, md_b, eta, cfg))
 
     if cfg.has_missing:
         c = sum(jnp.sum(md_b.miss.astype(A.dtype), axis=1, keepdims=True)

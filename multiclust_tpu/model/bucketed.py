@@ -47,18 +47,46 @@ class JaggedPlan:
     ranges: Tuple[Tuple[int, int], ...]  # per-bucket [lo, hi) sorted pos
     Ms: Tuple[int, ...]        # per-bucket allele ceiling
     M_full: int                # original dense M_max
+    # per-bucket PADDED locus count: L_b rounds up so L_pad * M_b is a
+    # multiple of 1024 - every kernel tile lane count divides it, so the
+    # chained fullstep launches need NO per-iteration lane pads (a
+    # non-hoisted x pad measured ~300 us/iter, round-4 probes).  Padded
+    # loci are fully masked, hence inert.
+    pad_Ls: Tuple[int, ...] = ()
 
     @property
     def n_buckets(self) -> int:
         return len(self.ranges)
 
 
+def _pad_L(L_real: int, M_b: int) -> int:
+    import math
+    step = 1024 // math.gcd(M_b, 1024)
+    return -(-L_real // step) * step
+
+
 class BucketedData(NamedTuple):
     """Tuple-of-ModelData pytree consumed by em_step_bucketed; loci are
-    in plan-sorted order, each bucket trimmed to its own M ceiling."""
+    in plan-sorted order, each bucket trimmed to its own M ceiling and
+    padded to its tile-aligned locus count (pads masked/inert)."""
 
     buckets: Tuple[ModelData, ...]
-    perm: Array                # [L] device copy of plan.order (harvest)
+    # [sum of padded L_b] original locus index at each padded-sorted
+    # position (pad positions point at locus 0; their columns are zeroed
+    # through the bucket masks on split)
+    perm: Array
+    # [L_original] padded-sorted position of original locus l (harvest)
+    inv: Array
+    # [I, sum_b L_b*M_b] storage-dtype concatenation of every bucket's
+    # flattened count matrix: the admixture kernel treats each (l, m)
+    # LANE independently (locus structure only matters in the p
+    # epilogue), so the whole jagged panel runs as ONE fullstep launch
+    # over this matrix at uniform-kernel efficiency
+    # (model/admixture._bucketed_fullstep_fused).  Built by
+    # prepare_for_em, BEFORE the EM loop - XLA does not reliably hoist
+    # large concats/pads out of loop bodies (measured ~300 us/iter,
+    # round-4 probes).
+    x_lanes: Optional[Array] = None
 
     @property
     def I(self) -> int:  # noqa: E743
@@ -73,9 +101,11 @@ class BucketedData(NamedTuple):
         return max(b.M for b in self.buckets)
 
     def prepare_for_em(self, bi: bool = False) -> "BucketedData":
+        buckets = tuple(b.prepare_for_em(bi=False)
+                        for b in self.buckets)
         return self._replace(
-            buckets=tuple(b.prepare_for_em(bi=False)
-                          for b in self.buckets))
+            buckets=buckets,
+            x_lanes=jnp.concatenate([b.x_flat for b in buckets], axis=1))
 
 
 def plan_buckets(n_alleles: np.ndarray, M_full: int,
@@ -113,9 +143,11 @@ def plan_buckets(n_alleles: np.ndarray, M_full: int,
     Ms = tuple(int(sorted_m[hi - 1]) for lo, hi in ranges)
     inv = np.empty(L, np.int64)
     inv[order] = np.arange(L)
+    pad_Ls = tuple(_pad_L(hi - lo, M_b)
+                   for (lo, hi), M_b in zip(ranges, Ms))
     return JaggedPlan(order=order, inv_order=inv,
                       ranges=tuple((int(a), int(b)) for a, b in ranges),
-                      Ms=Ms, M_full=M_full)
+                      Ms=Ms, M_full=M_full, pad_Ls=pad_Ls)
 
 
 def jagged_savings(n_alleles: np.ndarray) -> float:
@@ -136,46 +168,48 @@ def worth_bucketing(n_alleles: np.ndarray, threshold: float = 0.25
 
 
 def bucketize_model_data(md: ModelData, plan: JaggedPlan) -> BucketedData:
-    """Permute loci into plan order and slice per-bucket ModelDatas
-    (one-time device gathers; derived aliases reset)."""
-    perm = jnp.asarray(plan.order)
-    x = jnp.take(md.x, perm, axis=1)
-    miss = jnp.take(md.miss, perm, axis=1)
-    mask = jnp.take(md.mask, perm, axis=0)
-    n_all = jnp.take(md.n_alleles, perm, axis=0)
+    """Permute loci into plan order and slice per-bucket ModelDatas,
+    each padded to its tile-aligned locus count (one-time device
+    gathers; pads zero/masked; derived aliases reset)."""
+    order = jnp.asarray(plan.order)
+    x = jnp.take(md.x, order, axis=1)
+    miss = jnp.take(md.miss, order, axis=1)
+    mask = jnp.take(md.mask, order, axis=0)
+    n_all = jnp.take(md.n_alleles, order, axis=0)
     buckets = []
-    for (lo, hi), M_b in zip(plan.ranges, plan.Ms):
+    perm_parts = []
+    inv = np.empty(plan.order.shape[0], np.int64)
+    pos = 0
+    for (lo, hi), M_b, Lp in zip(plan.ranges, plan.Ms, plan.pad_Ls):
+        d = Lp - (hi - lo)
         buckets.append(ModelData(
-            x=x[:, lo:hi, :M_b],
-            miss=miss[:, lo:hi],
-            mask=mask[lo:hi, :M_b],
-            n_alleles=n_all[lo:hi],
+            x=jnp.pad(x[:, lo:hi, :M_b], ((0, 0), (0, d), (0, 0))),
+            miss=jnp.pad(miss[:, lo:hi], ((0, 0), (0, d))),
+            mask=jnp.pad(mask[lo:hi, :M_b], ((0, d), (0, 0))),
+            n_alleles=jnp.pad(n_all[lo:hi], (0, d)),
             row_valid=md.row_valid))
-    return BucketedData(buckets=tuple(buckets), perm=perm)
-
-
-def split_params(params: Params, plan: JaggedPlan) -> Params:
-    """Dense p [.., K, L, M_full] -> tuple of per-bucket
-    [.., K, L_b, M_b] (plan-sorted loci).  Batched OK."""
-    if isinstance(params.p, tuple):
-        return params
-    p = jnp.take(params.p, jnp.asarray(plan.order), axis=-2)
-    parts = tuple(p[..., lo:hi, :M_b]
-                  for (lo, hi), M_b in zip(plan.ranges, plan.Ms))
-    return params._replace(p=parts)
+        perm_parts.append(np.concatenate(
+            [plan.order[lo:hi], np.zeros(d, np.int64)]))
+        inv[plan.order[lo:hi]] = pos + np.arange(hi - lo)
+        pos += Lp
+    return BucketedData(buckets=tuple(buckets),
+                        perm=jnp.asarray(np.concatenate(perm_parts)),
+                        inv=jnp.asarray(inv))
 
 
 def split_params_like(params: Params, bd: BucketedData) -> Params:
     """Dense p [.., K, L, M] -> per-bucket tuple, using the bucket
     shapes/permutation carried BY the BucketedData (no plan object
-    needed inside jitted engine functions).  No-op when already split."""
+    needed inside jitted engine functions).  Pad positions (perm -> 0)
+    are zeroed through the bucket masks.  No-op when already split."""
     if isinstance(params.p, tuple):
         return params
     p = jnp.take(params.p, bd.perm, axis=-2)
     parts = []
     lo = 0
     for b in bd.buckets:
-        parts.append(p[..., lo:lo + b.L, :b.M])
+        part = p[..., lo:lo + b.L, :b.M]
+        parts.append(jnp.where(b.mask, part, 0.0))
         lo += b.L
     return params._replace(p=tuple(parts))
 
@@ -183,26 +217,14 @@ def split_params_like(params: Params, bd: BucketedData) -> Params:
 def merge_params_like(params: Params, bd: BucketedData,
                       M_full: int) -> Params:
     """Inverse of split_params_like: per-bucket tuple -> dense
-    [.., K, L, M_full] in ORIGINAL locus order (harvest time)."""
+    [.., K, L, M_full] in ORIGINAL locus order (harvest time; bd.inv
+    maps original loci to their padded-sorted positions, so bucket pad
+    columns drop out)."""
     if not isinstance(params.p, tuple):
         return params
     parts = [jnp.pad(pb, [(0, 0)] * (pb.ndim - 1)
                      + [(0, M_full - pb.shape[-1])])
              for pb in params.p]
     p_sorted = jnp.concatenate(parts, axis=-2)
-    inv = jnp.argsort(bd.perm)
-    p = jnp.take(p_sorted, inv, axis=-2)
-    return params._replace(p=p)
-
-
-def merge_params(params: Params, plan: JaggedPlan) -> Params:
-    """Inverse of split_params: per-bucket tuple -> dense
-    [.., K, L, M_full] in ORIGINAL locus order.  Batched OK."""
-    if not isinstance(params.p, tuple):
-        return params
-    parts = [jnp.pad(pb, [(0, 0)] * (pb.ndim - 1)
-                     + [(0, plan.M_full - pb.shape[-1])])
-             for pb in params.p]
-    p_sorted = jnp.concatenate(parts, axis=-2)
-    p = jnp.take(p_sorted, jnp.asarray(plan.inv_order), axis=-2)
+    p = jnp.take(p_sorted, bd.inv, axis=-2)
     return params._replace(p=p)

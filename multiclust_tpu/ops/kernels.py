@@ -177,15 +177,22 @@ def _michelot_tile(v, k_true: int, lb: float):
     return w * maskf
 
 
-def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, etan_ref, t_ref, b_ref,
-                     a_scr, *, tl: int, n_l: int, k_true: int, lb: float,
-                     project: bool, compute_t: bool):
+def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, *rest, tl: int,
+                     n_l: int, k_true: int, lb: float,
+                     project: bool, compute_t: bool,
+                     with_a0: bool = False, emit_a: bool = False):
+    rest = list(rest)
+    a0_ref = rest.pop(0) if with_a0 else None
+    etan_ref, t_ref, b_ref, a_scr = rest
     i_idx = pl.program_id(0)
     l_idx = pl.program_id(1)
 
     @pl.when(l_idx == 0)
     def _():
-        a_scr[:] = jnp.zeros_like(a_scr)
+        # a0 seeds the accumulator with a previous launch's A (jagged-M
+        # bucket chaining, model/bucketed.py): the per-individual
+        # statistics are additive across locus groups
+        a_scr[:] = a0_ref[:] if with_a0 else jnp.zeros_like(a_scr)
         t_ref[:] = jnp.zeros_like(t_ref)
 
     @pl.when(jnp.logical_and(i_idx == 0, l_idx == 0))
@@ -211,20 +218,27 @@ def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, etan_ref, t_ref, b_ref,
     # projection) entirely on-chip and emit eta_new
     @pl.when(l_idx == n_l - 1)
     def _():
-        A = a_scr[:] + c_ref[:]
-        num = eta_ref[:] * A
-        tot = jnp.sum(num, axis=1, keepdims=True)
-        e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
-                       eta_ref[:])
-        if project:
-            e2 = _michelot_tile(e2, k_true, lb)
-        etan_ref[:] = e2
+        if emit_a:
+            # non-final bucket of a jagged chain: emit the raw accumulated
+            # A for the next launch's a0 (c is added once, at the end)
+            etan_ref[:] = a_scr[:]
+        else:
+            A = a_scr[:] + c_ref[:]
+            num = eta_ref[:] * A
+            tot = jnp.sum(num, axis=1, keepdims=True)
+            e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
+                           eta_ref[:])
+            if project:
+                e2 = _michelot_tile(e2, k_true, lb)
+            etan_ref[:] = e2
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "ti", "tl", "k_true", "lb", "project", "compute_t", "interpret"))
-def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
-                       lb: float, project: bool, compute_t: bool = True,
+    "ti", "tl", "k_true", "lb", "project", "compute_t", "emit_a",
+    "interpret"))
+def admixture_fullstep(eta, p2, x2, c, a0=None, *, ti: int, tl: int,
+                       k_true: int, lb: float, project: bool,
+                       compute_t: bool = True, emit_a: bool = False,
                        interpret: bool = False):
     """Fused sweep + complete eta update in ONE kernel.
 
@@ -237,6 +251,13 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
     With ``compute_t=False`` the logL accumulation (the per-cell logs) is
     skipped and t is returned as zeros - used by the check-interval EM
     driver (opt/em.blind_plain_steps) between convergence checks.
+
+    Jagged-M bucket chaining (model/bucketed.py): ``a0`` [I, Kp] seeds
+    the A accumulator with a previous launch's output; ``emit_a=True``
+    returns the raw accumulated A (c NOT added, no eta finish, no
+    aliasing) in the first slot instead of eta_new - the per-individual
+    statistics are additive across locus groups, so a chain of launches
+    with A threaded through computes the exact multi-bucket step.
     """
     I, Kp = eta.shape
     LMp = p2.shape[1]
@@ -244,24 +265,32 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
     assert fused_fits(Kp, LMp), (Kp, LMp)
     n_i, n_l = I // ti, LMp // tl
     f32 = jnp.float32
+    with_a0 = a0 is not None
+
+    ik_spec = pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        ik_spec,
+        pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [eta, p2, x2, c]
+    if with_a0:
+        in_specs.append(ik_spec)
+        args.append(a0)
 
     etan, t_out, b_out = pl.pallas_call(
         functools.partial(_fullstep_kernel, tl=tl, n_l=n_l, k_true=k_true,
-                          lb=lb, project=project, compute_t=compute_t),
+                          lb=lb, project=project, compute_t=compute_t,
+                          with_a0=with_a0, emit_a=emit_a),
         grid=(n_i, n_l),
-        in_specs=[
-            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
+            ik_spec,
             pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Kp, LMp), lambda i, l: (0, 0),
@@ -272,10 +301,12 @@ def admixture_fullstep(eta, p2, x2, c, *, ti: int, tl: int, k_true: int,
             jax.ShapeDtypeStruct((I, 1), f32),
             jax.ShapeDtypeStruct((Kp, LMp), f32),
         ],
-        input_output_aliases={0: 0},
+        # emit_a's first output is A, not eta': no aliasing (eta must
+        # survive for the chain's later launches and XLA epilogues)
+        input_output_aliases={} if emit_a else {0: 0},
         scratch_shapes=[pltpu.VMEM((ti, Kp), f32)],
         interpret=interpret,
-    )(eta, p2, x2, c)
+    )(*args)
     return etan, t_out[:, 0], b_out
 
 

@@ -108,6 +108,14 @@ def project_rows(v: Array, mask: Array, n_valid: Array,
         done2 = done | ~clamped | (jnp.sum(free2, axis=-1) == 0)
         return w3, free2, done2
 
+    # NOTE (round 4, measured): a statically unrolled M-pass chain was
+    # tried to kill lax.while_loop's per-trip latency, and REGRESSED the
+    # multi-allelic fullstep -22% (195 -> 151 Gcells/s at BENCH_M=4):
+    # real EM inputs are near-feasible, so the loop exits after 1-2
+    # passes while the unroll always pays all M.  The epilogue's
+    # remaining ~150 us/launch is small-op dispatch latency, not loop
+    # trips - fixing it needs the p update fused into the kernel, not a
+    # different host-side loop shape.
     w, _, _ = jax.lax.while_loop(cond, body, (w0, free0, done0))
     return jnp.where(mask, w, jnp.zeros((), dtype))
 

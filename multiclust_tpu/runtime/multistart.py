@@ -217,7 +217,8 @@ def _pad_md_rows(md: ModelData, Ip: int) -> ModelData:
     from multiclust_tpu.model.bucketed import BucketedData
     if isinstance(md, BucketedData):
         return md._replace(buckets=tuple(_pad_md_rows(b, Ip)
-                                         for b in md.buckets))
+                                         for b in md.buckets),
+                           x_lanes=None)  # derived; prepare rebuilds
     d = Ip - md.I
     if d <= 0:
         return md

@@ -79,11 +79,17 @@ def test_bucketed_step_matches_dense(rng, missing):
                - float(df64.df_value(llr))) < 1e-8
 
 
-def test_bucketed_pallas_sweep_matches(rng):
-    """The per-bucket Pallas fused-sweep path (interpret mode, f32, int8
-    storage) matches the dense XLA step."""
-    md, params, Ml = make_mixed_panel(rng, missing=0.1)
+def test_bucketed_pallas_chain_matches(rng):
+    """The CHAINED per-bucket fullstep kernels (interpret mode, f32,
+    int8 storage; a0-threaded A accumulator, emit_a for non-final
+    buckets, in-kernel eta finish on the last) match the dense XLA
+    step.  I=64 forces row padding handled by pick_layout tiling."""
+    from multiclust_tpu.model import admixture as adm
+    from multiclust_tpu.model.common import k_padded_size, pad_params_k
+
+    md, params, Ml = make_mixed_panel(rng, I=64, missing=0.1)
     md8 = md._replace(x=md.x.astype(jnp.int8), miss=md.miss.astype(jnp.int8))
+    K = 3
     params32 = Params(eta=params.eta.astype(jnp.float32),
                       p=params.p.astype(jnp.float32))
     cfg = EMConfig(admixture=True, has_missing=True)
@@ -93,13 +99,18 @@ def test_bucketed_pallas_sweep_matches(rng):
 
     plan = plan_buckets(np.asarray(Ml), md.M, min_bucket=4)
     bd = bucketize_model_data(md8, plan).prepare_for_em()
-    cfg_k = cfg._replace(use_pallas="interpret")
-    out, llb, _ = admixture.em_step(params32, bd, cfg_k)
+    cfg_k = cfg._replace(use_pallas="interpret", k_true=K)
+    pad = pad_params_k(params32, k_padded_size(K, 32))
+    # the chain path must actually engage (not the XLA fallback)
+    assert adm._bucketed_fullstep_chain(
+        __import__("multiclust_tpu.model.bucketed", fromlist=["x"])
+        .split_params_like(pad, bd), bd, cfg_k, True) is not None
+    out, llb, _ = admixture.em_step(pad, bd, cfg_k)
     got = merge_params_like(out, bd, md.M)
-    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+    np.testing.assert_allclose(np.asarray(got.p[:K]), np.asarray(ref.p),
                                rtol=2e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.eta), np.asarray(ref.eta),
-                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.eta[:, :K]),
+                               np.asarray(ref.eta), rtol=2e-4, atol=1e-5)
     assert abs(float(df64.df_value(llb))
                - float(df64.df_value(llr))) < 5e-2
 

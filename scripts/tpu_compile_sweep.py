@@ -111,7 +111,7 @@ def compile_mix_twopass(ti, tl, Kp, with_x1):
     return (I, Kp, Lp)
 
 
-def compile_generic(ti, tl, b_max, Kp, compute_t):
+def compile_generic(ti, tl, b_max, Kp, compute_t, chain=False):
     LMp = (b_max // (Kp * 4)) // tl * tl
     if LMp == 0:
         return None
@@ -119,9 +119,14 @@ def compile_generic(ti, tl, b_max, Kp, compute_t):
     f32, i8 = jnp.float32, jnp.int8
     args = [_sds((I, Kp), f32), _sds((Kp, LMp), f32),
             _sds((I, LMp), i8), _sds((I, 1), f32)]
+    kw = {}
+    if chain:
+        # jagged-M bucket chaining: a0-seeded accumulator + emit_a
+        args.append(_sds((I, Kp), f32))
+        kw = dict(emit_a=True)
     kn.admixture_fullstep.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, project=True,
-        compute_t=compute_t, interpret=False).compile()
+        compute_t=compute_t, interpret=False, **kw).compile()
     return (I, Kp, LMp)
 
 
@@ -257,21 +262,25 @@ def main() -> int:
                 if not kn._fullstep_k_fits(ti, tl, Kp):
                     continue
                 for compute_t in variants_t:
-                    tag = (f"gen ti={ti} tl={tl} cap={b_max//1024}K "
-                           f"Kp={Kp} t={int(compute_t)}")
-                    t0 = time.time()
-                    try:
-                        shape = compile_generic(ti, tl, b_max, Kp, compute_t)
-                        if shape is None:
-                            print(f"SKIP {tag} (no admissible LMp)")
-                            continue
-                        n_ok += 1
-                        print(f"OK   {tag} shape={shape} "
-                              f"({time.time()-t0:.1f}s)")
-                    except Exception as e:  # noqa: BLE001
-                        failures.append(tag)
-                        print(f"FAIL {tag}: {type(e).__name__}: "
-                              f"{str(e)[:300]}", file=sys.stderr)
+                    for chain in ((False, True) if compute_t
+                                  else (False,)):
+                        tag = (f"gen ti={ti} tl={tl} cap={b_max//1024}K "
+                               f"Kp={Kp} t={int(compute_t)} "
+                               f"chain={int(chain)}")
+                        t0 = time.time()
+                        try:
+                            shape = compile_generic(ti, tl, b_max, Kp,
+                                                    compute_t, chain)
+                            if shape is None:
+                                print(f"SKIP {tag} (no admissible LMp)")
+                                continue
+                            n_ok += 1
+                            print(f"OK   {tag} shape={shape} "
+                                  f"({time.time()-t0:.1f}s)")
+                        except Exception as e:  # noqa: BLE001
+                            failures.append(tag)
+                            print(f"FAIL {tag}: {type(e).__name__}: "
+                                  f"{str(e)[:300]}", file=sys.stderr)
 
     print(f"\n{n_ok} compiled OK, {len(failures)} failed")
     if failures:

@@ -370,17 +370,19 @@ def main():
         # genotypes are 2 GB unpadded but XLA lays [I, L, 2] out at 2x
         # (M padded to the 4-sublane tile) and the one-time x_flat
         # relayout keeps a second copy live, so budget ~6 GB for x
-        ours = our_throughput(I=65536, L=16384, M=2, K=20, steps=20,
+        # steps=60: ~0.6 s device time/run - the 20-step config paid
+        # ~14% of tunnel scalar-fetch amortization (round-4 finding)
+        ours = our_throughput(I=65536, L=16384, M=2, K=20, steps=60,
                               repeats=2)
-        ours1 = interval1(I=65536, L=16384, M=2, K=20, steps=20)
+        ours1 = interval1(I=65536, L=16384, M=2, K=20, steps=60)
     elif size == "xl":
         # biobank-L single-chip config: Lp far beyond the resident-B
         # ceiling (16384 at Kp=32), so the STREAMED biallelic two-pass
         # kernels run (ops/kernels.admixture_fullstep_biallelic_streamed);
         # I scaled down to keep the int8 genotype tensors inside HBM
-        ours = our_throughput(I=8192, L=131072, M=2, K=20, steps=20,
+        ours = our_throughput(I=8192, L=131072, M=2, K=20, steps=60,
                               repeats=2)
-        ours1 = interval1(I=8192, L=131072, M=2, K=20, steps=20)
+        ours1 = interval1(I=8192, L=131072, M=2, K=20, steps=60)
     else:
         ours = our_throughput(M=bench_m, K=bench_k)
         ours1 = interval1(M=bench_m, K=bench_k)

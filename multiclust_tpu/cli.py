@@ -442,16 +442,17 @@ def _main(argv: Optional[List[str]] = None) -> int:
         if not opt.mesh_shape:
             raise UsageError("multi-process runs require --mesh")
         from multiclust_tpu.runtime.ingest import codes_distributed, \
-            load_structure_distributed
+            load_structure_distributed, write_outputs_distributed
         from multiclust_tpu.runtime.mesh import cached_mesh
         mesh = cached_mesh(tuple(opt.mesh_shape))
         dtype = jnp.dtype(opt.dtype)
         _, storage = opt.device_policy()
         md, info = load_structure_distributed(
             opt.filename, opt, mesh, dtype=dtype, storage_dtype=storage)
-        ds, _, _, I_total = info
+        ds, I_total = info.ds_local, info.I_total
         opt = opt.synchronize(I_total, opt.ploidy)
-        opt.write_files = False
+        want_files = opt.write_files
+        opt.write_files = False  # the engine's own writers are host-global
         n_all = np.asarray(md.n_alleles)
 
         codes = None
@@ -469,6 +470,10 @@ def _main(argv: Optional[List[str]] = None) -> int:
         t_start = time.time()
 
         def on_model_done(K, mres):
+            if want_files and mres.best_params is not None:
+                # sharded output files: every process writes its row
+                # block (.etaik.part<p>), process 0 the replicated tables
+                write_outputs_distributed(opt, ds, info, K, mres)
             if opt.verbosity:
                 print_model_state(opt, ds, mres, time.time() - t_start)
 

@@ -62,17 +62,24 @@ def write_file_detail(opt: Options, ds: Dataset, K: int, logL: float,
         _write_big_table(base + ".etaik.txt", "i\tk\tetaik\n", ik,
                          np.asarray(eta, np.float64).reshape(-1, 1))
 
-    # .pklm rows are jagged per locus (n_alleles + an extra slot 0 for
-    # missing loci, printed as 0.0 - see module docstring); build the
-    # (k, l, m, value) columns vectorized, then bulk-write
-    has_missing = ds.has_missing_slot
-    rows_l = (np.asarray(ds.n_alleles, np.int64)
-              + np.asarray(has_missing, np.int64))     # [L]
+    write_pklm(base, K, p, ds.n_alleles, ds.has_missing_slot)
+
+
+def write_pklm(base: str, K: int, p: np.ndarray, n_alleles,
+               has_missing_slot) -> None:
+    """.pklm table: rows are jagged per locus (n_alleles + an extra slot
+    0 for missing loci, printed as 0.0 - see module docstring); build
+    the (k, l, m, value) columns vectorized, then bulk-write.  Shared by
+    the single-host writer and the multi-host process-0 writer
+    (runtime/ingest.write_outputs_distributed)."""
+    L = len(np.asarray(n_alleles))
+    rows_l = (np.asarray(n_alleles, np.int64)
+              + np.asarray(has_missing_slot, np.int64))     # [L]
     per_k = int(rows_l.sum())
-    l_idx = np.repeat(np.arange(ds.L, dtype=np.int64), rows_l)
+    l_idx = np.repeat(np.arange(L, dtype=np.int64), rows_l)
     starts = np.repeat(np.cumsum(rows_l) - rows_l, rows_l)
     m_idx = np.arange(per_k, dtype=np.int64) - starts
-    m_start = np.asarray(has_missing, np.int64)[l_idx]
+    m_start = np.asarray(has_missing_slot, np.int64)[l_idx]
     obs = m_idx >= m_start
     slot = np.where(obs, m_idx - m_start, 0)
     k_col = np.repeat(np.arange(K, dtype=np.int64), per_k)

@@ -24,11 +24,25 @@ documents the label-coded restriction).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
 from multiclust_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
+
+
+class IngestInfo(NamedTuple):
+    """Process-local side information from a distributed load."""
+
+    ds_local: object          # this process's Dataset shard
+    lo: int                   # first global individual owned
+    hi: int                   # one past the last REAL individual owned
+    I_total: int              # true global individual count
+    # [L] bool, GLOBAL any-missing per locus (allgathered): the
+    # reference's has_missing_slot for output-format parity
+    miss_any: np.ndarray = None
+    # [L] int64, GLOBAL per-locus allele counts (allgathered max)
+    n_alleles: np.ndarray = None
 
 
 def process_partition(I_padded: int, n_proc: int, pid: int
@@ -88,14 +102,18 @@ def load_structure_distributed(path: str, opt, mesh, dtype=None,
     # allele-count sync: global per-locus max (position-coded alleles
     # guarantee slot agreement; only the lane COUNT can differ per shard)
     n_all_local = np.asarray(ds_local.n_alleles, np.int64)
+    miss_any_loc = np.asarray(ds_local.miss, np.int64).any(axis=0)
     L = n_all_local.shape[0]
     if n_proc > 1:
         from jax.experimental import multihost_utils
         gathered = np.asarray(
             multihost_utils.process_allgather(jnp.asarray(n_all_local)))
         n_alleles = gathered.max(axis=0)
+        miss_any = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(miss_any_loc))).any(axis=0)
     else:
         n_alleles = n_all_local
+        miss_any = miss_any_loc
     M = int(n_alleles.max()) if L else 0
 
     # local block, padded to the process's row quota and the global M
@@ -137,7 +155,76 @@ def load_structure_distributed(path: str, opt, mesh, dtype=None,
         row_valid=(None if Ip == I_total
                    else sharded(rv_loc, P(DATA_AXIS))),
     )
-    return md, (ds_local, lo, real_hi, I_total)
+    return md, IngestInfo(ds_local, lo, real_hi, I_total, miss_any,
+                          n_alleles)
+
+
+def _local_rows(arr, lo: int, n_real: int) -> np.ndarray:
+    """Rows [lo, lo+n_real) of a data-sharded global array, assembled
+    from THIS process's addressable shards (deduplicating model-axis
+    replicas).  Works because each process owns a contiguous global row
+    block (the module's layout contract)."""
+    rows = {}
+    for s in arr.addressable_shards:
+        sl = s.index[0]
+        start = 0 if sl.start is None else int(sl.start)
+        if start not in rows:
+            rows[start] = np.asarray(s.data)
+    blocks = [rows[k] for k in sorted(rows)]
+    full = np.concatenate(blocks, axis=0)
+    return full[:n_real]
+
+
+def write_outputs_distributed(opt, ds_local, info, K: int, mres) -> None:
+    """Multi-host per-K output files (write_file_detail,
+    write_file.c:203-335, sharded): every process writes ITS row block
+    of the per-individual .etaik table as ``.etaik.part<p>.txt`` (names
+    and global i indices are process-local knowledge), while process 0
+    writes the replicated .out and .pklm tables.  ``cat`` the parts in
+    process order for the single-host layout.  The CLUMPP .popq/.indivq
+    outputs need host-global posteriors and stay single-host
+    (PARITY.md)."""
+    import jax
+
+    from multiclust_tpu.io import writers
+
+    lo, real_hi = info.lo, info.hi
+    pid = jax.process_index()
+    base = f"{writers._base(opt)}.{writers._model_tag(opt)}.K={K}"
+    params = mres.best_params
+
+    eta = params.eta
+    if eta.ndim == 2:
+        eta_loc = _local_rows(eta, lo, real_hi - lo)
+        Kk = eta_loc.shape[1]
+        n_loc = eta_loc.shape[0]
+        i_col = lo + np.repeat(np.arange(n_loc, dtype=np.int64), Kk)
+        ik = np.stack([i_col, np.tile(np.arange(Kk, dtype=np.int64),
+                                      n_loc)], axis=1)
+        writers._write_big_table(
+            f"{base}.etaik.part{pid}.txt", "i\tk\tetaik\n" if pid == 0
+            else "", ik, np.asarray(eta_loc, np.float64).reshape(-1, 1))
+
+    if pid != 0:
+        return
+    # p is replicated across the data axis and every process's devices
+    # cover the whole model axis (processes split data only), so the
+    # full table is addressable here
+    p = np.asarray(params.p)
+    with open(base + ".out.txt", "w") as fp:
+        fp.write("logL = %f (%s)\n" % (
+            mres.max_logL,
+            "converged" if mres.ever_converged else "not converged"))
+        fp.write("AIC = %f\n" % mres.aic)
+        fp.write("BIC = %f\n\n" % mres.bic)
+    if eta.ndim == 1:
+        with open(base + ".etak.txt", "w") as fp:
+            fp.write("i\tk\tetak\n")
+            for k in range(K):
+                fp.write("%d\t%f\n" % (k, np.asarray(eta)[k]))
+            fp.write("\n")
+    # same jagged missing-slot row format as the single-host writer
+    writers.write_pklm(base, K, p, info.n_alleles, info.miss_any)
 
 
 def codes_distributed(md, info, opt, mesh):
@@ -150,7 +237,7 @@ def codes_distributed(md, info, opt, mesh):
 
     from multiclust_tpu.init.random import codes_from_counts
 
-    ds_local, lo, real_hi, _ = info
+    ds_local, lo, real_hi = info.ds_local, info.lo, info.hi
     n_loc = int(md.x.shape[0]) // jax.process_count()
     L = int(md.x.shape[1])
     codes_real = codes_from_counts(

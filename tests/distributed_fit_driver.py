@@ -46,7 +46,7 @@ def main():
     mesh = cached_mesh((dd, mm))
     md, info = load_structure_distributed(data_path, opt, mesh,
                                           dtype=np.float64)
-    _, lo, hi, I_total = info
+    lo, hi, I_total = info.lo, info.hi, info.I_total
     opt.mesh_shape = (dd, mm)
     opt = opt.synchronize(I_total, opt.ploidy)
     codes = codes_distributed(md, info, opt, mesh)

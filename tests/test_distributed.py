@@ -90,3 +90,58 @@ def test_two_process_fit_matches_single_process(snp_file, tmp_path, dd, mm,
         assert n_launched == n_ref
         # same program, same key, same schedule: identical result
         assert ll == ll_ref, (ll, ll_ref)
+
+
+def test_two_process_cli_sharded_outputs(snp_file, tmp_path):
+    """The multi-process CLI writes SHARDED output files: every process
+    writes its row block of .etaik (.part<p>), process 0 the replicated
+    .out/.pklm - the .pklm must be byte-identical to the single-process
+    writer's and the .etaik parts value-identical
+    (runtime/ingest.write_outputs_distributed)."""
+    out1 = tmp_path / "one"
+    outM = tmp_path / "multi"
+    out1.mkdir(); outM.mkdir()
+
+    def run_cli(pid, nproc, port, outdir, local_devices):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                            + str(local_devices))
+        if nproc > 1:
+            env.update(MULTICLUST_COORDINATOR=f"localhost:{port}",
+                       MULTICLUST_NUM_PROCESSES=str(nproc),
+                       MULTICLUST_PROCESS_ID=str(pid))
+        return subprocess.Popen(
+            [sys.executable, "-m", "multiclust_tpu.cli", "--platform",
+             "cpu", "-f", snp_file, "-a", "-I", "-k", "2", "-n", "2",
+             "--mesh", "8x1", "-d", str(outdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+
+    p = run_cli(0, 1, 0, out1, 8)
+    out, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out[-3000:]
+    procs = [run_cli(i, 2, 12495, outM, 4) for i in range(2)]
+    logs = [pp.communicate(timeout=540)[0] for pp in procs]
+    assert all(pp.returncode == 0 for pp in procs), \
+        "\n".join(log[-3000:] for log in logs)
+
+    name = os.path.basename(snp_file)
+
+    def load(path):
+        rows = []
+        for ln in open(path):
+            parts = ln.split()
+            if len(parts) == 3 and parts[0] != "i":
+                rows.append(tuple(float(v) for v in parts))
+        return rows
+
+    one = load(out1 / f"{name}.admix.K=2.etaik.txt")
+    parts = (load(outM / f"{name}.admix.K=2.etaik.part0.txt")
+             + load(outM / f"{name}.admix.K=2.etaik.part1.txt"))
+    assert len(one) == len(parts) == 64 * 2
+    a = np.array(sorted(one))
+    b = np.array(sorted(parts))
+    np.testing.assert_array_equal(a, b)
+    assert (open(out1 / f"{name}.admix.K=2.pklm.txt").read()
+            == open(outM / f"{name}.admix.K=2.pklm.txt").read())

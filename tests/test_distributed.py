@@ -145,3 +145,55 @@ def test_two_process_cli_sharded_outputs(snp_file, tmp_path):
     np.testing.assert_array_equal(a, b)
     assert (open(out1 / f"{name}.admix.K=2.pklm.txt").read()
             == open(outM / f"{name}.admix.K=2.pklm.txt").read())
+
+
+def test_ingest_single_process_row_padding(tmp_path):
+    """load_structure_distributed with I not divisible by the data axis:
+    rows pad to a shard multiple with row_valid masking, and the
+    production fit matches a host-read fit of the same file (the
+    degenerate 1-process path the CLI also uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.io.structure import read_structure
+    from multiclust_tpu.model.common import model_data_from_dataset
+    from multiclust_tpu.runtime.ingest import codes_distributed, \
+        load_structure_distributed
+    from multiclust_tpu.runtime.mesh import cached_mesh
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    rng = np.random.default_rng(17)
+    I, L = 50, 24
+    path = tmp_path / "odd.str"
+    with open(path, "w") as fh:
+        fh.write(" ".join(f"l{j}" for j in range(L)) + "\n")
+        for i in range(I):
+            for _ in range(2):
+                hap = rng.integers(0, 2, L)
+                fh.write(f"i{i} p0 " + " ".join(map(str, hap)) + "\n")
+
+    opt = Options(admixture=True, alleles_are_indices=True, n_init=2,
+                  batch_chains=2, min_K=2, max_K=2, mesh_shape=(8, 1),
+                  dtype="float64")
+    mesh = cached_mesh((8, 1))
+    md, info = load_structure_distributed(str(path), opt, mesh,
+                                          dtype=np.float64)
+    assert info.I_total == I and md.x.shape[0] == 56  # padded to 8's
+    assert md.row_valid is not None
+    assert int(jnp.sum(md.row_valid)) == I
+    opt = opt.synchronize(I, 2)
+    codes = codes_distributed(md, info, opt, mesh)
+    res = maximize_likelihood(jax.random.PRNGKey(5), md, 2, opt,
+                              n_parameters=2 * L + I, codes=codes)
+    assert res.ever_converged and np.isfinite(res.max_logL)
+
+    # host-read reference on the same mesh shape: logL of the padded
+    # ingest fit counts only real individuals, so the optimum matches
+    ds = read_structure(str(path), opt)
+    md_h = model_data_from_dataset(ds, dtype=jnp.float64)
+    from multiclust_tpu.init.random import codes_from_counts
+    codes_h = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+    ref = maximize_likelihood(jax.random.PRNGKey(5), md_h, 2, opt,
+                              n_parameters=2 * L + I, codes=codes_h)
+    assert abs(res.max_logL - ref.max_logL) < 1e-6 * abs(ref.max_logL)

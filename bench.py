@@ -377,9 +377,11 @@ def main():
         ours1 = interval1(I=65536, L=16384, M=2, K=20, steps=60)
     elif size == "xl":
         # biobank-L single-chip config: Lp far beyond the resident-B
-        # ceiling (16384 at Kp=32), so the STREAMED biallelic two-pass
-        # kernels run (ops/kernels.admixture_fullstep_biallelic_streamed);
-        # I scaled down to keep the int8 genotype tensors inside HBM
+        # ceiling (16384 at Kp=32), so the chained ONE-PASS chunked path
+        # runs (ops/kernels.admixture_fullstep_biallelic_chunked; the
+        # two-pass streamed kernels remain the fallback when no resident
+        # tile divides I); I scaled down to keep the int8 genotype
+        # tensors inside HBM
         ours = our_throughput(I=8192, L=131072, M=2, K=20, steps=60,
                               repeats=2)
         ours1 = interval1(I=8192, L=131072, M=2, K=20, steps=60)

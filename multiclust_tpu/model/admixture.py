@@ -28,6 +28,7 @@ per-iteration cost drops from O(I K L M) to O(K L M) + one-time O(I L M).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -132,6 +133,29 @@ def _p0_clip_bounds(plb: float):
     return float(plb), ub
 
 
+def _bi_fullstep_fn(mode: str, I: int, Kp: int, L: int, ti: int, tl: int):
+    """Kernel callable for the layout ``mode`` picked by
+    pick_layout_biallelic_any: 'resident' (single fused launch),
+    'chunked' (chained one-pass launches over resident-budget column
+    chunks - the biobank-L default), or 'streamed' (two-pass).  All three
+    share the (eta, p0, x0, x1, c, miss, **kw) calling convention with
+    kw = ti/tl/k_true/lb/plb/project/compute_t/emit_b/emit_a/interpret."""
+    from multiclust_tpu.ops.kernels import (
+        admixture_fullstep_biallelic,
+        admixture_fullstep_biallelic_chunked,
+        admixture_fullstep_biallelic_streamed,
+        pick_layout_biallelic_chunked)
+    if mode == "resident":
+        return admixture_fullstep_biallelic
+    if mode == "chunked":
+        ti2, tl2, Lc, n_chunks = pick_layout_biallelic_chunked(I, Kp, L)
+        assert (ti2, tl2) == (ti, tl), (ti2, tl2, ti, tl)
+        return functools.partial(admixture_fullstep_biallelic_chunked,
+                                 n_chunks=n_chunks)
+    assert mode == "streamed", mode
+    return admixture_fullstep_biallelic_streamed
+
+
 def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
     """Biallelic p0-representation full step under a (data x loci) mesh:
     each shard runs the fused kernel on its (I_loc, L_loc) tile with
@@ -151,9 +175,7 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
     by the masked p update)."""
     from jax.sharding import PartitionSpec as P
 
-    from multiclust_tpu.ops.kernels import \
-        admixture_fullstep_biallelic, \
-        admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
+    from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
     from multiclust_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
 
     eta, p0 = params.eta, params.p
@@ -175,8 +197,7 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
     else:
         Lp = Lp_loc
         assert p0.shape[-1] == Lp, (md.L, Lp, p0.shape)
-    fn = (admixture_fullstep_biallelic if mode == "resident"
-          else admixture_fullstep_biallelic_streamed)
+    fn = _bi_fullstep_fn(mode, md.I // dd, Kp, L_loc, ti, tl)
     emit_a = mm > 1
     x0, x1 = _bi_inputs(md)
     dL = Lp - md.L
@@ -246,9 +267,7 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
     relayout happens - one pallas_call per EM iteration (two for the
     streamed biobank-L variant), everything else is the [I] logL
     reduction."""
-    from multiclust_tpu.ops.kernels import \
-        admixture_fullstep_biallelic, \
-        admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
+    from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
 
     if cfg.mesh is not None and (cfg.data_shards > 1
                                  or cfg.model_shards > 1):
@@ -264,8 +283,7 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
         x0 = jnp.pad(x0, ((0, 0), (0, dL)))
         x1 = jnp.pad(x1, ((0, 0), (0, dL)))
     c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
-    fn = (admixture_fullstep_biallelic if mode == "resident"
-          else admixture_fullstep_biallelic_streamed)
+    fn = _bi_fullstep_fn(mode, md.I, Kp, md.L, ti, tl)
     eta_new, per_i, p0n = fn(
         eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
@@ -520,9 +538,7 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
     cluster whose eta column is exactly zero gets p = (0, 1) here vs the
     XLA epilogue's (0, 0)-then-unprojected row; with projection on (the
     default) eta >= lb makes the case unreachable."""
-    from multiclust_tpu.ops.kernels import \
-        admixture_fullstep_biallelic, \
-        admixture_fullstep_biallelic_streamed, pick_layout_biallelic_any
+    from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
 
     eta, p = params.eta, params.p
     K = params.K                                  # = Kp (K-padded layout)
@@ -538,8 +554,7 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
         x0 = jnp.pad(x0, ((0, 0), (0, dL)))
         x1 = jnp.pad(x1, ((0, 0), (0, dL)))
     c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
-    fn = (admixture_fullstep_biallelic if mode == "resident"
-          else admixture_fullstep_biallelic_streamed)
+    fn = _bi_fullstep_fn(mode, md.I, K, md.L, ti, tl)
     eta_new, per_i, p0n = fn(
         eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),

@@ -314,10 +314,11 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
                         tl: int, n_i: int, n_l: int, k_true: int,
                         lb: float, plb: float, project: bool,
                         compute_t: bool, with_miss: bool, emit_b: bool,
-                        emit_a: bool = False):
+                        emit_a: bool = False, with_a0: bool = False):
     """Biallelic full EM step: see ``admixture_fullstep_biallelic``."""
     rest = list(rest)
     miss_ref = rest.pop(0) if with_miss else None
+    a0_ref = rest.pop(0) if with_a0 else None
     etan_ref = rest.pop(0)
     t_ref = rest.pop(0)
     if emit_b:
@@ -334,7 +335,10 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
 
     @pl.when(l_idx == 0)
     def _():
-        a_scr[:] = jnp.zeros_like(a_scr)
+        # a0 seeds the accumulator with a previous launch's raw A+r
+        # (column-chunk chaining, admixture_fullstep_biallelic_chunked):
+        # the per-individual statistics are additive across locus chunks
+        a_scr[:] = a0_ref[:] if with_a0 else jnp.zeros_like(a_scr)
         r_scr[:] = jnp.zeros_like(r_scr)
         t_ref[:] = jnp.zeros_like(t_ref)
 
@@ -421,12 +425,14 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
-    "emit_a", "interpret"))
-def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
+    "emit_a", "chunk_idx", "n_chunks", "interpret"))
+def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
+                                 ti: int,
                                  tl: int, k_true: int, lb: float, plb: float,
                                  project: bool, compute_t: bool = True,
                                  emit_b: bool = False,
                                  emit_a: bool = False,
+                                 chunk_idx: int = 0, n_chunks: int = 1,
                                  interpret: bool = False):
     """Fully fused biallelic (M=2, every locus 2 valid alleles) EM step.
 
@@ -456,34 +462,56 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
     is ALSO skipped: the first output is the raw per-individual A+r
     accumulator over this shard's loci (c NOT added), psummed over the
     model axis and finished by the caller.
+
+    Column-chunk chaining (``admixture_fullstep_biallelic_chunked``):
+    with ``n_chunks > 1`` the launch covers ONLY chunk ``chunk_idx`` of
+    the p0/x columns (chunk width Lc = Lp // n_chunks, a tl multiple) -
+    the block index maps carry a static column offset, so the full-width
+    arrays are passed unsliced and HBM sees only the chunk's bytes.  The
+    B accumulators and the in-kernel p update are chunk-local ([Kp, Lc]
+    resident - the VMEM budget is per CHUNK, not per Lp); ``a0`` [I, Kp]
+    seeds the per-individual A accumulator with the previous chunks' raw
+    output (additive across locus chunks), and ``emit_a`` on non-final
+    chunks returns raw A+r instead of finishing the eta update.
     """
     I, Kp = eta.shape
     Lp = p0.shape[1]
     # Kp needs only 32-lane granularity here: the denominator contraction
     # is time-flat in Kp <= 128 while the A/B outputs scale with it
     assert I % ti == 0 and Lp % tl == 0 and Kp % 32 == 0, (I, ti, Lp, tl)
-    assert not emit_a or emit_b, "emit_a requires emit_b"
-    n_i, n_l = I // ti, Lp // tl
+    assert not emit_a or emit_b or n_chunks > 1, \
+        "emit_a without emit_b only in chunk mode"
+    assert Lp % n_chunks == 0 and 0 <= chunk_idx < n_chunks, \
+        (Lp, n_chunks, chunk_idx)
+    Lc = Lp // n_chunks
+    assert Lc % tl == 0, (Lc, tl)
+    n_i, n_l = I // ti, Lc // tl
+    l_off = chunk_idx * n_l  # static column offset, in tl blocks
     f32 = jnp.float32
     with_miss = miss is not None
+    with_a0 = a0 is not None
 
     in_specs = [
         pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
+        pl.BlockSpec((Kp, Lc), lambda i, l: (0, chunk_idx),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l + l_off),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l + l_off),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [eta, p0, x0, x1, c]
     if with_miss:
-        in_specs.append(pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+        in_specs.append(pl.BlockSpec((ti, tl), lambda i, l: (i, l + l_off),
                                      memory_space=pltpu.VMEM))
         args.append(miss)
+    if with_a0:
+        in_specs.append(pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(a0)
 
     out_specs = [
         pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
@@ -495,29 +523,33 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, *, ti: int,
         jax.ShapeDtypeStruct((I, Kp), f32),
         jax.ShapeDtypeStruct((I, 1), f32),
     ]
-    kl_spec = pl.BlockSpec((Kp, Lp), lambda i, l: (0, 0),
+    kl_spec = pl.BlockSpec((Kp, Lc), lambda i, l: (0, 0),
                            memory_space=pltpu.VMEM)
-    kl_shape = jax.ShapeDtypeStruct((Kp, Lp), f32)
+    kl_shape = jax.ShapeDtypeStruct((Kp, Lc), f32)
     scratch = [pltpu.VMEM((ti, Kp), f32), pltpu.VMEM((ti, 1), f32)]
+    chunked = n_chunks > 1
     if emit_b:
         out_specs += [kl_spec, kl_spec]
         out_shape += [kl_shape, kl_shape]
         # emit_a's first output is A, not eta': the eta buffer must
-        # survive for the caller's XLA epilogue, so no aliasing
-        aliases = {} if emit_a else {0: 0}
+        # survive for the caller's XLA epilogue, so no aliasing; in chunk
+        # mode eta feeds every launch of the chain, so never alias it
+        aliases = {} if (emit_a or chunked) else {0: 0}
     else:
         out_specs.append(kl_spec)
         out_shape.append(kl_shape)
-        aliases = {0: 0, 1: 2}
+        # chunk mode: p0n is [Kp, Lc] vs the full-width p0 input (no
+        # aliasing possible), and eta must survive the chain
+        aliases = {} if chunked else {0: 0, 1: 2}
         # kernel unpack order: a_scr, r_scr, b0_scr, b1_scr
-        scratch = scratch + [pltpu.VMEM((Kp, Lp), f32),
-                             pltpu.VMEM((Kp, Lp), f32)]
+        scratch = scratch + [pltpu.VMEM((Kp, Lc), f32),
+                             pltpu.VMEM((Kp, Lc), f32)]
 
     outs = pl.pallas_call(
         functools.partial(_fullstep_bi_kernel, tl=tl, n_i=n_i, n_l=n_l,
                           k_true=k_true, lb=lb, plb=plb, project=project,
                           compute_t=compute_t, with_miss=with_miss,
-                          emit_b=emit_b, emit_a=emit_a),
+                          emit_b=emit_b, emit_a=emit_a, with_a0=with_a0),
         grid=(n_i, n_l),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -638,19 +670,119 @@ def pick_layout_biallelic_streamed(I: int, Kp: int, L: int,
     return 0, 0, 0
 
 
+def pick_layout_biallelic_chunked(I: int, Kp: int, L: int):
+    """(ti, tl, Lc, n_chunks) for the CHAINED one-pass biallelic path
+    (admixture_fullstep_biallelic_chunked), or zeros when no resident
+    tile divides I.  Picks the tile with the largest admissible per-copy
+    budget (fewest launches; ties broken by ladder order = measured
+    speed).
+
+    Budget: 3/4 of the resident ladder's TPU-verified cap - chunk mode
+    cannot alias p0 onto p0n (full-width input vs chunk-width output),
+    so Mosaic keeps FOUR resident [Kp, Lc] VMEM windows where the
+    aliased resident kernel shares one (measured round 4: the unshared
+    layout at the full 2M cap overflows the 16 MB stack by 232K; at
+    3/4 cap it compiles with ~1.8M headroom).
+
+    Chunk width prefers an EXACT divisor of the padded width (>= half
+    the budget cap): a non-divisor Lc forces tail x pads that sit
+    INSIDE the EM while-loop (XLA does not hoist them - CLAUDE.md);
+    only when no such divisor exists is the padding spread evenly."""
+    best = None
+    for rank, (ti, tl, b_max) in enumerate(_FULLSTEP_BI_TILES):
+        if I % ti:
+            continue
+        cap = b_max - b_max // 4
+        Lc = (cap // (Kp * 4)) // tl * tl
+        if Lc <= 0:
+            continue
+        if best is None or Lc > best[0] or (Lc == best[0]
+                                            and rank < best[1]):
+            best = (Lc, rank, ti, tl)
+    if best is None:
+        return 0, 0, 0, 0
+    Lc_max, _, ti, tl = best
+    Lp_min = _round_up(L, tl)
+    for cand in range(Lc_max, max(Lc_max // 2, tl) - 1, -tl):
+        if Lp_min % cand == 0:
+            return ti, tl, cand, Lp_min // cand
+    n_chunks = -(-Lp_min // Lc_max)
+    Lc = _round_up(-(-Lp_min // n_chunks), tl)
+    return ti, tl, Lc, n_chunks
+
+
 def pick_layout_biallelic_any(I: int, Kp: int, L: int,
                               emit_b: bool = False):
     """(ti, tl, Lp, mode) with mode 'resident' (single fused kernel, B in
-    VMEM) when the ladder admits it, else 'streamed' (two-pass, no Lp
-    ceiling); ('', 0 tiles) when neither applies.  ``emit_b`` = the
-    caller will run the kernels with emit_b=True (mesh path)."""
+    VMEM) when the ladder admits it, else 'chunked' (chained one-pass
+    launches over resident-budget column chunks; Lp = Lc * n_chunks),
+    else 'streamed' (two-pass, no Lp ceiling); ('', 0 tiles) when none
+    applies.  ``emit_b`` = the caller will run the kernels with
+    emit_b=True (mesh path)."""
     ti, tl, Lp = pick_layout_biallelic(I, Kp, L)
     if ti:
         return ti, tl, Lp, "resident"
+    ti, tl, Lc, n_chunks = pick_layout_biallelic_chunked(I, Kp, L)
+    if ti:
+        return ti, tl, Lc * n_chunks, "chunked"
     ti, tl, Lp = pick_layout_biallelic_streamed(I, Kp, L, emit_b)
     if ti:
         return ti, tl, Lp, "streamed"
     return 0, 0, 0, ""
+
+
+def admixture_fullstep_biallelic_chunked(eta, p0, x0, x1, c, miss=None, *,
+                                         ti: int, tl: int, n_chunks: int,
+                                         k_true: int, lb: float, plb: float,
+                                         project: bool,
+                                         compute_t: bool = True,
+                                         emit_b: bool = False,
+                                         emit_a: bool = False,
+                                         interpret: bool = False):
+    """ONE-PASS biallelic full step for L beyond the resident-B budget: a
+    chain of ``n_chunks`` resident fullstep launches over tl-aligned
+    column chunks (static block-spec offsets - no HBM slicing), with the
+    per-individual A accumulator threaded through the chain via the a0
+    input.  Each chunk streams its x columns ONCE and runs the
+    denominator matmuls once (vs twice for the two-pass streamed
+    kernels); B0/B1 and the complete p update stay chunk-local in VMEM.
+    The final launch adds the global missing totals ``c`` and finishes
+    the eta update on-chip (em_alg.c:435-445's memory/time trade taken
+    chunk-wise instead of pass-wise).
+
+    Same contract as ``admixture_fullstep_biallelic``: returns
+    (eta_new, t [I], p0_new [Kp, Lp]); with ``emit_b`` the raw
+    (eta_new, t, B0, B1) for the caller's data-axis psum; with
+    ``emit_a`` (+ emit_b) the first output is the raw A+r total for the
+    caller's model-axis psum."""
+    Lp = p0.shape[1]
+    assert Lp % n_chunks == 0, (Lp, n_chunks)
+    a0 = None
+    t_sum = None
+    p0n_chunks, b0_chunks, b1_chunks = [], [], []
+    for j in range(n_chunks):
+        last = j == n_chunks - 1
+        out = admixture_fullstep_biallelic(
+            eta, p0, x0, x1, c, miss, a0, ti=ti, tl=tl, k_true=k_true,
+            lb=lb, plb=plb, project=project, compute_t=compute_t,
+            emit_b=emit_b, emit_a=emit_a if last else True,
+            chunk_idx=j, n_chunks=n_chunks, interpret=interpret)
+        if emit_b:
+            aout, t_j, b0, b1 = out
+            b0_chunks.append(b0)
+            b1_chunks.append(b1)
+        else:
+            aout, t_j, p0n = out
+            p0n_chunks.append(p0n)
+        if compute_t:
+            t_sum = t_j if t_sum is None else t_sum + t_j
+        a0 = aout  # raw A+r for the next launch; finished eta on the last
+    if t_sum is None:
+        t_sum = jnp.zeros((eta.shape[0],), jnp.float32)
+    if emit_b:
+        return a0, t_sum, jnp.concatenate(b0_chunks, axis=1), \
+            jnp.concatenate(b1_chunks, axis=1)
+    return a0, t_sum, jnp.concatenate(p0n_chunks, axis=1)
 
 
 def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,

@@ -40,20 +40,35 @@ def _sds(shape, dtype):
 
 
 def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False,
-               emit_a=False):
-    Lp = (b_max // (Kp * 4)) // tl * tl
+               emit_a=False, chunk=None):
+    """``chunk``: None = plain resident; "mid"/"fin" = the chained
+    one-pass chunk-mode bindings (admixture_fullstep_biallelic_chunked) -
+    full-width arrays with static block-offset maps, a0 threading, and
+    (mid) emit_a without emit_b.  Same VMEM pressure as resident at
+    Lp=Lc; the compile verifies Mosaic accepts the offset index maps."""
+    cap = b_max - b_max // 4 if chunk else b_max  # chunk: no p0n alias
+    Lp = (cap // (Kp * 4)) // tl * tl
     if Lp == 0:
         return None
     I = 2 * ti
     f32, i8 = jnp.float32, jnp.int8
-    args = [_sds((I, Kp), f32), _sds((Kp, Lp), f32),
-            _sds((I, Lp), i8), _sds((I, Lp), i8), _sds((I, 1), f32)]
+    n_chunks = 2 if chunk else 1
+    Lf = n_chunks * Lp
+    args = [_sds((I, Kp), f32), _sds((Kp, Lf), f32),
+            _sds((I, Lf), i8), _sds((I, Lf), i8), _sds((I, 1), f32)]
+    kw = dict(emit_b=emit_b, emit_a=emit_a)
     if with_miss:
-        args.append(_sds((I, Lp), i8))
+        args.append(_sds((I, Lf), i8))
+    elif chunk:
+        args.append(None)
+    if chunk == "mid":
+        kw = dict(emit_b=emit_b, emit_a=True, chunk_idx=0, n_chunks=2)
+    elif chunk == "fin":
+        args.append(_sds((I, Kp), f32))  # a0 seed from the prior launch
+        kw = dict(emit_b=emit_b, emit_a=emit_a, chunk_idx=1, n_chunks=2)
     kn.admixture_fullstep_biallelic.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
-        compute_t=compute_t, emit_b=emit_b, emit_a=emit_a,
-        interpret=False).compile()
+        compute_t=compute_t, interpret=False, **kw).compile()
     return (I, Kp, Lp)
 
 
@@ -134,9 +149,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bi-only", action="store_true")
     ap.add_argument("--generic-only", action="store_true")
+    ap.add_argument("--chunk-only", action="store_true",
+                    help="chained chunk-mode bindings only (the one-pass "
+                         "biobank-L path)")
     ap.add_argument("--fast", action="store_true",
                     help="binding variants only (compute_t=True, miss on)")
     args = ap.parse_args()
+    if args.chunk_only:
+        args.bi_only = True
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -159,17 +179,27 @@ def main() -> int:
         for ti, tl, b_max in kn._FULLSTEP_BI_TILES:
             for Kp in ((32,) if args.fast else (32, 64, 128)):
                 for compute_t, with_miss in variants:
-                    for emit_b, emit_a in (emits if compute_t and with_miss
-                                           else ((False, False),)):
+                    emit_list = [(eb, ea, None) for eb, ea in
+                                 (emits if compute_t and with_miss
+                                  else ((False, False),))]
+                    if compute_t and with_miss:
+                        # chained one-pass chunk bindings (biobank-L):
+                        # non-final (emit_a, no a0) and final (a0 seeded)
+                        emit_list += [(False, False, "mid"),
+                                      (False, False, "fin"),
+                                      (True, True, "fin")]
+                    if args.chunk_only:
+                        emit_list = [e for e in emit_list if e[2]]
+                    for emit_b, emit_a, chunk in emit_list:
                         tag = (f"bi ti={ti} tl={tl} cap={b_max//1024}K "
                                f"Kp={Kp} t={int(compute_t)} "
                                f"miss={int(with_miss)} eb={int(emit_b)} "
-                               f"ea={int(emit_a)}")
+                               f"ea={int(emit_a)} ch={chunk or '-'}")
                         t0 = time.time()
                         try:
                             shape = compile_bi(ti, tl, b_max, Kp,
                                                compute_t, with_miss,
-                                               emit_b, emit_a)
+                                               emit_b, emit_a, chunk)
                             if shape is None:
                                 print(f"SKIP {tag} (no admissible Lp)")
                                 continue
@@ -181,7 +211,7 @@ def main() -> int:
                             print(f"FAIL {tag}: {type(e).__name__}: "
                                   f"{str(e)[:300]}", file=sys.stderr)
 
-    if not args.generic_only:
+    if not args.generic_only and not args.chunk_only:
         variants = [(True, True)] if args.fast else [
             (True, True), (True, False), (False, True), (False, False)]
         for ti, tl in kn._FULLSTEP_BI_STREAM_TILES:

@@ -204,6 +204,57 @@ def test_biallelic_fullstep_matches_xla(missing_rate):
             np.asarray(got.p).sum(axis=2), 1.0, atol=1e-6)
 
 
+def test_chunked_mode_engine_step_matches_xla(monkeypatch):
+    """_em_step_bi_repr with the CHUNKED layout (resident ladder forced
+    inadmissible, tiny per-copy budget so a 512-locus panel splits into 4
+    chained launches) tracks the XLA trajectory - the production
+    biobank-L path end-to-end through the p0-representation step."""
+    from multiclust_tpu.model.common import (ModelData, k_padded_size,
+                                             pad_params_k, unpad_params_k)
+    from multiclust_tpu.ops import kernels
+    from multiclust_tpu.runtime.multistart import _to_bi_repr
+
+    monkeypatch.setattr(kernels, "pick_layout_biallelic",
+                        lambda I, Kp, L: (0, 0, 0))
+    # budget sized so the 3/4 chunk-mode cap still admits Lc=128
+    monkeypatch.setattr(kernels, "_FULLSTEP_BI_TILES",
+                        ((64, 128, 2 * 128 * 32 * 4),))
+
+    rng = np.random.default_rng(41)
+    I, L, K = 64, 500, 4
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    eta = rng.dirichlet(np.full(K, 2.0), size=I)
+    miss = rng.binomial(2, 0.05, size=(I, L))
+    x0 = rng.binomial(2 - miss, 0.5)
+    counts = np.stack([x0, 2 - miss - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.asarray(miss, jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32)).prepare_for_em(
+                       bi=True)
+    md_f = md._replace(x=md.x.astype(jnp.float32))
+    params = Params(eta=jnp.asarray(eta, jnp.float32),
+                    p=jnp.asarray(np.stack([p0t, 1 - p0t], axis=2),
+                                  jnp.float32))
+    cfg = EMConfig(admixture=True, has_missing=True)
+    cfg_bi = cfg._replace(k_true=K, use_pallas="interpret", biallelic=True)
+    Kp = k_padded_size(K, 32)
+    assert kernels.pick_layout_biallelic_any(I, Kp, L)[3] == "chunked"
+    bi = _to_bi_repr(pad_params_k(params, Kp), cfg_bi, I, L)
+    assert bi.p.ndim == 2 and bi.p.shape[1] % 128 == 0  # Lp = 4 x 128
+    ref = params
+    for it in range(3):
+        ref, ll_r, _ = admixture.em_step(ref, md_f, cfg)
+        bi, ll_b, _ = admixture.em_step(bi, md, cfg_bi)
+        assert abs(float(df64.df_value(ll_b))
+                   - float(df64.df_value(ll_r))) < 5e-3
+    p0n = np.asarray(bi.p)[:K, :L]
+    np.testing.assert_allclose(p0n, np.asarray(ref.p)[:, :, 0],
+                               rtol=1e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(bi.eta)[:, :K],
+                               np.asarray(ref.eta), rtol=1e-4, atol=5e-5)
+
+
 @pytest.mark.parametrize("accel,missing_rate",
                          [(0, 0.0), (1, 0.0), (0, 0.1), (1, 0.1)])
 def test_bi_repr_engine_matches_xla(accel, missing_rate):
@@ -329,6 +380,44 @@ def test_streamed_biallelic_matches_resident(with_miss, compute_t):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ts), np.asarray(tr),
                                rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("with_miss,emit", [(False, ""), (True, ""),
+                                            (False, "b"), (True, "ab")])
+def test_chunked_biallelic_matches_resident(with_miss, emit):
+    """The chained ONE-PASS chunked biallelic path (resident launches
+    over tl-aligned column chunks, A threaded through the a0 input via
+    static block-spec offsets) reproduces the resident single-kernel
+    full step bit-for-... well, to fp tolerance - including the emit_b
+    (data-mesh) and emit_a+emit_b (loci-mesh) raw-accumulator
+    variants."""
+    from multiclust_tpu.ops.kernels import (
+        admixture_fullstep_biallelic, admixture_fullstep_biallelic_chunked)
+
+    rng = np.random.default_rng(31)
+    I, L, Kp, kt = 128, 512, 32, 5
+    eta = np.zeros((I, Kp), np.float32)
+    eta[:, :kt] = rng.dirichlet(np.full(kt, 2.0), size=I)
+    p0 = np.zeros((Kp, L), np.float32)
+    p0[:kt] = rng.uniform(0.2, 0.8, size=(kt, L))
+    miss = (rng.binomial(2, 0.1, size=(I, L)) if with_miss
+            else np.zeros((I, L), np.int64))
+    x0 = rng.binomial(2 - miss, 0.5)
+    x1 = 2 - miss - x0
+    args = [jnp.asarray(eta), jnp.asarray(p0),
+            jnp.asarray(x0, jnp.int8), jnp.asarray(x1, jnp.int8),
+            jnp.asarray(miss.sum(axis=1, keepdims=True), jnp.float32),
+            jnp.asarray(miss, jnp.int8) if with_miss else None]
+    kw = dict(ti=64, tl=128, k_true=kt, lb=1e-8, plb=1e-8, project=True,
+              compute_t=True, emit_b="b" in emit, emit_a="a" in emit,
+              interpret=True)
+    ref = admixture_fullstep_biallelic(*args, **kw)
+    got = admixture_fullstep_biallelic_chunked(*args, n_chunks=4, **kw)
+    names = (("A" if "a" in emit else "eta'"), "t", "B0", "B1") \
+        if "b" in emit else ("eta'", "t", "p0'")
+    for name, g, r in zip(names, got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=2e-3, err_msg=name)
 
 
 def test_pallas_em_step_matches_xla(setup):
@@ -562,9 +651,28 @@ def test_layout_choosers():
     assert not _stream_vmem_fits(256, 2048, 128)   # measured compile OOM
     assert _stream_vmem_fits(256, 2048, 32)        # measured OK
 
-    # beyond the resident-copy ceiling the mode switches to streamed
+    # beyond the resident-copy ceiling the mode switches to the chained
+    # one-pass chunked path (round 4); streamed remains the fallback when
+    # no resident tile divides I at all
     assert pick_layout_biallelic_any(8192, 32, 16384)[3] == "resident"
-    assert pick_layout_biallelic_any(8192, 32, 131072)[3] == "streamed"
+    ti, tl, Lp, mode = pick_layout_biallelic_any(8192, 32, 131072)
+    assert mode == "chunked" and Lp == 131072, (ti, tl, Lp, mode)
+
+    from multiclust_tpu.ops.kernels import pick_layout_biallelic_chunked
+    ti, tl, Lc, n_chunks = pick_layout_biallelic_chunked(8192, 32, 131072)
+    # chunk budget is 3/4 of the 2M resident cap (no p0n VMEM-window
+    # sharing) -> Lc_max = 12288 at Kp=32, and the divisor preference
+    # lands on 8192 (16 launches, zero per-iteration x pads) on the
+    # (256,512) tile that measured fastest at the biobank shape
+    assert (ti, tl, Lc, n_chunks) == (256, 512, 8192, 16), \
+        (ti, tl, Lc, n_chunks)
+    # non-power-of-two L: padding spreads evenly and stays tl-aligned
+    ti, tl, Lc, n_chunks = pick_layout_biallelic_chunked(8192, 32, 20000)
+    assert Lc % tl == 0 and Lc * n_chunks >= 20000 \
+        and Lc * (n_chunks - 1) < 20000 + tl, (ti, tl, Lc, n_chunks)
+    # Kp scales the per-copy bytes: chunks shrink, count grows
+    ti64, tl64, Lc64, n64 = pick_layout_biallelic_chunked(8192, 64, 131072)
+    assert Lc64 <= Lc and n64 >= 8, (Lc64, n64)
 
 
 def test_generic_layout_large_k_guard():

@@ -428,12 +428,13 @@ def _main(argv: Optional[List[str]] = None) -> int:
         # (runtime/ingest.py; replaces the reference's single-host
         # whole-file read, read_file.c:38-300).  Fit results (logL,
         # AIC/BIC, model selection) are replicated scalars printed by
-        # every process's own stdout; full per-name output files need
-        # host-global names and stay a single-host feature (PARITY.md).
-        for flag, name in ((opt.qfile, "-Q/-P warm start"),
-                           (opt.afile, "-A truth scoring"),
-                           (opt.n_bootstrap, "-b bootstrap"),
-                           (opt.n_repeat != 1, "-w timing harness"),
+        # every process's own stdout; per-individual output files are
+        # written as per-process row-block parts.  Remaining single-host
+        # features (PARITY.md): -b bootstrap, --impute, and -w combined
+        # with -A (the per-repeat arand runs inside the engine loop).
+        for flag, name in ((opt.n_bootstrap, "-b bootstrap"),
+                           (opt.n_repeat != 1 and bool(opt.afile),
+                            "-w combined with -A"),
                            (opt.imputed_outfile, "--impute outfile")):
             if flag:
                 raise UsageError(
@@ -442,7 +443,8 @@ def _main(argv: Optional[List[str]] = None) -> int:
         if not opt.mesh_shape:
             raise UsageError("multi-process runs require --mesh")
         from multiclust_tpu.runtime.ingest import codes_distributed, \
-            load_structure_distributed, write_outputs_distributed
+            load_structure_distributed, score_arand_distributed, \
+            warm_start_distributed, write_outputs_distributed
         from multiclust_tpu.runtime.mesh import cached_mesh
         mesh = cached_mesh(tuple(opt.mesh_shape))
         dtype = jnp.dtype(opt.dtype)
@@ -459,7 +461,17 @@ def _main(argv: Optional[List[str]] = None) -> int:
         if opt.admixture:
             codes = codes_distributed(md, info, opt, mesh)
         warm = None
+        if opt.qfile and opt.pfile:
+            # every process reads the (small) parameter files fully;
+            # the arrays become mesh-replicated global arrays
+            warm = warm_start_distributed(opt, info, mesh, dtype)
         truth = None
+        if opt.afile:
+            # full afile per process (O(I) ints); the adjusted Rand is
+            # computed from allgather-summed per-process contingency
+            # tables in on_model_done (the engine's own per-improve
+            # scoring needs host-global arrays and is skipped)
+            truth, _ = read_afile(opt.afile, I_total)
 
         def n_parameters(K):
             eta_params = (I_total * (K - 1)
@@ -470,15 +482,24 @@ def _main(argv: Optional[List[str]] = None) -> int:
         t_start = time.time()
 
         def on_model_done(K, mres):
+            if truth is not None and mres.best_params is not None:
+                mres.arand = score_arand_distributed(opt, md, info, mres,
+                                                     truth)
             if want_files and mres.best_params is not None:
                 # sharded output files: every process writes its row
-                # block (.etaik.part<p>), process 0 the replicated tables
-                write_outputs_distributed(opt, ds, info, K, mres)
+                # block (.etaik/.indivq .part<p>), process 0 the
+                # replicated tables (.out incl. count.K, .pklm, .popq)
+                write_outputs_distributed(opt, ds, info, K, mres, md=md)
             if opt.verbosity:
                 print_model_state(opt, ds, mres, time.time() - t_start)
 
+        if opt.n_repeat != 1:
+            timed_model_estimation(key, md, ds, opt, n_parameters,
+                                   codes=codes, warm=warm)
+            return 0
+
         est = estimate_model(key, md, opt, n_parameters, codes=codes,
-                             on_model_done=on_model_done,
+                             warm=warm, on_model_done=on_model_done,
                              checkpoint_dir=None)
         if opt.parallel:
             print(f"{est.last.max_logL:f}")

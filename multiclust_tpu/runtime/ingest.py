@@ -175,15 +175,208 @@ def _local_rows(arr, lo: int, n_real: int) -> np.ndarray:
     return full[:n_real]
 
 
-def write_outputs_distributed(opt, ds_local, info, K: int, mres) -> None:
+def _allgather_sum(arr) -> np.ndarray:
+    """Sum a same-shaped per-process host array over all processes
+    (identity single-process); used for the tiny global reductions -
+    contingency tables, count.K, per-locale popq sums."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(arr))).sum(axis=0)
+
+
+def _gather_name_lists(names):
+    """Every process's list of strings (utf-8, newline-joined, padded
+    uint8 allgather) in process order; tiny - used for the global
+    sampling-locale vocabulary in the multi-host .popq writer."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return [list(names)]
+    from jax.experimental import multihost_utils
+    data = np.frombuffer("\n".join(names).encode(), np.uint8)
+    lens = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(np.array([data.size], np.int32)))).reshape(-1)
+    buf = np.zeros((int(lens.max()),), np.uint8)
+    buf[:data.size] = data
+    bufs = np.asarray(multihost_utils.process_allgather(jnp.asarray(buf)))
+    out = []
+    for b, ln in zip(np.atleast_2d(bufs), lens):
+        s = bytes(b[:int(ln)].tobytes()).decode()
+        out.append(s.split("\n") if s else [])
+    return out
+
+
+def mass_global(opt, params, md):
+    """Global per-individual cluster-mass matrix [Ip, K], computed
+    SHARDED: the admixture posterior allele mass dik (partition_admixture
+    write_file.c:350-382) or the mixture posterior v (partition_mixture
+    :582-600).  Padding rows carry zero counts and contribute
+    zeros/uniform rows; callers slice the real rows."""
+    import jax
+
+    if opt.admixture:
+        from multiclust_tpu.model.admixture import posterior_allele_mass
+        return jax.jit(posterior_allele_mass)(params, md)
+    from multiclust_tpu.model.mixture import e_step
+
+    return jax.jit(lambda pp, mm: e_step(pp, mm)[0])(params, md)
+
+
+def score_arand_distributed(opt, md, info, mres, truth) -> float:
+    """Adjusted Rand vs a true partition under multi-process (-A,
+    adj_rand multiclust.c:1903-1985): the hard partition is the sharded
+    argmax of the global mass matrix; each process builds the
+    contingency table of ITS real rows and the tables allgather-sum
+    (k1 x K - tiny) before the closed-form index."""
+    from multiclust_tpu.stats.rand_index import ADJUSTED_RAND_INDEX, \
+        agreement_from_contingency
+
+    truth = np.asarray(truth)
+    mass = mass_global(opt, mres.best_params, md)
+    n_loc = info.hi - info.lo
+    assign_loc = _local_rows(mass, info.lo, n_loc).argmax(axis=1)
+    truth_loc = truth[info.lo:info.hi]
+    k1 = int(truth.max()) + 1
+    K = int(mass.shape[1])
+    nmat_loc = np.zeros((k1, K))
+    np.add.at(nmat_loc, (truth_loc, assign_loc), 1.0)
+    nmat = _allgather_sum(nmat_loc)
+    return float(agreement_from_contingency(nmat, info.I_total,
+                                            ADJUSTED_RAND_INDEX))
+
+
+def write_clumpp_distributed(opt, ds_local, info, K: int, mres,
+                             md) -> np.ndarray:
+    """Multi-host CLUMPP/DISTRUCT outputs (popq_admix write_file.c:
+    398-475, indivq_admix :492-569, mixture variants :616-732): every
+    process writes its row block of the per-individual .indivq table as
+    ``.part<p>`` (names are process-local knowledge), and the per-locale
+    .popq aggregates globally - per-process partial per-locale sums and
+    sizes allgather-sum over a locale vocabulary unioned across
+    processes in first-appearance order (= the single-host reader's
+    order, since processes own contiguous row blocks).  Returns the
+    global count.K vector (hard-assignment bincount) for the .out
+    writer."""
+    import jax
+
+    from multiclust_tpu.io import writers
+
+    pid = jax.process_index()
+    lo, real_hi = info.lo, info.hi
+    n_loc = real_hi - lo
+    params = mres.best_params
+    mass_loc = _local_rows(mass_global(opt, params, md), lo, n_loc)
+    assign_loc = mass_loc.argmax(axis=1)
+    count_K = _allgather_sum(
+        np.bincount(assign_loc, minlength=K).astype(np.int64))
+
+    ploidy, L = opt.ploidy, int(md.x.shape[1])
+    if opt.admixture:
+        frac = mass_loc / (ploidy * L)
+        # indivq source selection (admixture_indivq_mass,
+        # write_file.c:525-550) on the GLOBAL missing flag - a local one
+        # could diverge between processes
+        if (opt.eta_constrained or bool(np.asarray(info.miss_any).any())
+                or params.eta.ndim == 1):
+            ind_mass = frac
+        else:
+            ind_mass = _local_rows(params.eta, lo, n_loc)
+        pop_mass = frac
+    else:
+        ind_mass = pop_mass = mass_loc
+
+    base = writers._base(opt)
+    if opt.admixture:
+        iq_name = f"{base}_admix_indivq_{K}.indivq.part{pid}"
+        pq_name = f"{base}_admix_popq_{K}.popq"
+    else:
+        iq_name = f"{base}.mix.K={K}.indivq.part{pid}"
+        pq_name = f"{base}_mix_popq.popq"
+    names = ds_local.names or [str(lo + i) for i in range(n_loc)]
+    pops_loc = ds_local.pops or ["pop0"]
+    loc_loc = (np.asarray(ds_local.locales, np.int64)
+               if ds_local.locales is not None
+               else np.zeros(n_loc, np.int64))
+    with open(iq_name, "w") as fp:
+        for j in range(n_loc):
+            fp.write("%d\t%s\t(x)\t%s\t:" % (lo + j, names[j],
+                                             pops_loc[loc_loc[j]]))
+            fp.write("".join("\t%f" % v for v in ind_mass[j]))
+            fp.write("\n")
+
+    pops_g, index = [], {}
+    for plist in _gather_name_lists(pops_loc):
+        for nm in plist:
+            if nm not in index:
+                index[nm] = len(pops_g)
+                pops_g.append(nm)
+    g_loc = np.array([index[nm] for nm in pops_loc], np.int64)[loc_loc]
+    agg_loc = np.zeros((len(pops_g), K))
+    np.add.at(agg_loc, g_loc, pop_mass)
+    agg = _allgather_sum(agg_loc)
+    sizes = _allgather_sum(np.bincount(g_loc, minlength=len(pops_g))
+                           .astype(np.int64))
+    if pid == 0:
+        with open(pq_name, "w") as fp:
+            for n_, pop in enumerate(pops_g):
+                fp.write("%s:\t" % pop)
+                fp.write("".join("%f\t" % v
+                                 for v in agg[n_] / max(sizes[n_], 1)))
+                fp.write("%d\n" % sizes[n_])
+    return count_K
+
+
+def warm_start_distributed(opt, info, mesh, dtype):
+    """-Q/-P warm start under multi-process (read_qfile/read_pfile,
+    read_file.c:880-959): the parameter files are O(I*K) / O(L*K) - tiny
+    next to the genotype matrix - so every process reads them fully and
+    the arrays are lifted to mesh-replicated GLOBAL arrays (the engine's
+    padding/representation/sharding machinery then treats them exactly
+    like any other global params; jnp ops on process-local host arrays
+    would produce committed single-device arrays that cannot be resharded
+    onto a multi-process mesh)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multiclust_tpu.io.warm_start import read_pfile, read_qfile
+    from multiclust_tpu.model.common import Params
+
+    M = int(np.asarray(info.n_alleles).max())
+    if M != 2:
+        from multiclust_tpu.cli import UsageError
+        raise UsageError(
+            f"-P warm start assumes biallelic data; dataset has up to "
+            f"{M} alleles per locus")
+    per_individual = opt.admixture and not opt.eta_constrained
+    eta = read_qfile(opt.qfile, info.I_total, opt.max_K,
+                     per_individual=per_individual)
+    L = int(np.asarray(info.n_alleles).shape[0])
+    p = read_pfile(opt.pfile, L, opt.max_K)
+
+    def rep(arr):
+        arr = np.ascontiguousarray(np.asarray(arr, dtype))
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, P()), lambda idx: arr[idx])
+
+    return Params(eta=rep(eta), p=rep(p))
+
+
+def write_outputs_distributed(opt, ds_local, info, K: int, mres,
+                              md=None) -> None:
     """Multi-host per-K output files (write_file_detail,
     write_file.c:203-335, sharded): every process writes ITS row block
     of the per-individual .etaik table as ``.etaik.part<p>.txt`` (names
     and global i indices are process-local knowledge), while process 0
     writes the replicated .out and .pklm tables.  ``cat`` the parts in
-    process order for the single-host layout.  The CLUMPP .popq/.indivq
-    outputs need host-global posteriors and stay single-host
-    (PARITY.md)."""
+    process order for the single-host layout.  With ``md`` the CLUMPP
+    .popq/.indivq outputs are written too (write_clumpp_distributed)
+    and .out.txt carries the global count.K section."""
     import jax
 
     from multiclust_tpu.io import writers
@@ -205,6 +398,11 @@ def write_outputs_distributed(opt, ds_local, info, K: int, mres) -> None:
             f"{base}.etaik.part{pid}.txt", "i\tk\tetaik\n" if pid == 0
             else "", ik, np.asarray(eta_loc, np.float64).reshape(-1, 1))
 
+    count_K = None
+    if md is not None:
+        count_K = write_clumpp_distributed(opt, ds_local, info, K, mres,
+                                           md)
+
     if pid != 0:
         return
     # p is replicated across the data axis and every process's devices
@@ -217,6 +415,12 @@ def write_outputs_distributed(opt, ds_local, info, K: int, mres) -> None:
             "converged" if mres.ever_converged else "not converged"))
         fp.write("AIC = %f\n" % mres.aic)
         fp.write("BIC = %f\n\n" % mres.bic)
+        if count_K is not None:
+            # the single-host writer's count.K section
+            # (write_file.c:248-252)
+            fp.write("count.K\n")
+            fp.write("".join("%d " % c for c in count_K))
+            fp.write("\n\n")
     if eta.ndim == 1:
         with open(base + ".etak.txt", "w") as fp:
             fp.write("i\tk\tetak\n")

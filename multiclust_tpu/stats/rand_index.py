@@ -21,6 +21,17 @@ def agreement_index(cl1, cl2, which: int = ADJUSTED_RAND_INDEX) -> float:
     k2 = int(cl2.max()) + 1
     nmat = np.zeros((k1, k2))
     np.add.at(nmat, (cl1, cl2), 1.0)
+    return agreement_from_contingency(nmat, n, which)
+
+
+def agreement_from_contingency(nmat, n: int,
+                               which: int = ADJUSTED_RAND_INDEX) -> float:
+    """Same indices from a precomputed contingency table ``nmat``
+    ([k1, k2] pair counts over ``n`` items).  The table is additive over
+    row shards, so multi-process runs build per-process tables from
+    their local rows and allgather-sum them before this closed form
+    (runtime/ingest.score_arand_distributed)."""
+    nmat = np.asarray(nmat, np.float64)
     sumtr = nmat.sum(axis=1)
     sumpr = nmat.sum(axis=0)
     sumtrsq = (sumtr ** 2).sum()

@@ -30,10 +30,14 @@ def snp_file(tmp_path_factory):
     with open(path, "w") as fh:
         fh.write(" ".join(f"l{j}" for j in range(L)) + "\n")
         for i in range(I):
+            # alternate sampling locales so BOTH span BOTH process row
+            # blocks - the multi-host .popq aggregation must merge
+            # per-locale sums across processes
             for _ in range(2):
                 hap = rng.binomial(1, freq[i])
                 hap = np.where(rng.random(L) < 0.05, -9, hap)
-                fh.write(f"i{i} p0 " + " ".join(map(str, hap)) + "\n")
+                fh.write(f"i{i} p{i % 2} " + " ".join(map(str, hap))
+                         + "\n")
     return str(path)
 
 
@@ -92,59 +96,138 @@ def test_two_process_fit_matches_single_process(snp_file, tmp_path, dd, mm,
         assert ll == ll_ref, (ll, ll_ref)
 
 
+def _run_cli(extra, pid, nproc, port, outdir, local_devices, data):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                        + str(local_devices))
+    if nproc > 1:
+        env.update(MULTICLUST_COORDINATOR=f"localhost:{port}",
+                   MULTICLUST_NUM_PROCESSES=str(nproc),
+                   MULTICLUST_PROCESS_ID=str(pid))
+    return subprocess.Popen(
+        [sys.executable, "-m", "multiclust_tpu.cli", "--platform",
+         "cpu", "-f", data, "-a", "-I", "--mesh", "8x1",
+         "-d", str(outdir)] + extra,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+
+
+def _compact_arand(log, data):
+    """arand field of the compact result record (print_model_state
+    token 12: ...logL aic bic ARAND converged...)."""
+    name = os.path.basename(data)
+    for ln in log.splitlines():
+        if ln.split() and ln.split()[0].endswith(name):
+            return float(ln.split()[12])
+    raise AssertionError(f"no compact record in:\n{log[-2000:]}")
+
+
 def test_two_process_cli_sharded_outputs(snp_file, tmp_path):
     """The multi-process CLI writes SHARDED output files: every process
-    writes its row block of .etaik (.part<p>), process 0 the replicated
-    .out/.pklm - the .pklm must be byte-identical to the single-process
-    writer's and the .etaik parts value-identical
-    (runtime/ingest.write_outputs_distributed)."""
+    writes its row block of .etaik/.indivq (.part<p>), process 0 the
+    replicated .out (incl. the global count.K)/.pklm/.popq - all
+    byte/value-identical to the single-process writer's - and -A truth
+    scoring matches via allgather-summed contingency tables
+    (runtime/ingest.write_outputs_distributed /
+    score_arand_distributed)."""
     out1 = tmp_path / "one"
     outM = tmp_path / "multi"
     out1.mkdir(); outM.mkdir()
+    # true partition: label by row block (1-based afile labels)
+    afile = tmp_path / "truth.afile"
+    afile.write_text(" ".join("1" if i < 32 else "2" for i in range(64)))
+    extra = ["-k", "2", "-n", "2", "-A", str(afile)]
 
-    def run_cli(pid, nproc, port, outdir, local_devices):
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
-                            + str(local_devices))
-        if nproc > 1:
-            env.update(MULTICLUST_COORDINATOR=f"localhost:{port}",
-                       MULTICLUST_NUM_PROCESSES=str(nproc),
-                       MULTICLUST_PROCESS_ID=str(pid))
-        return subprocess.Popen(
-            [sys.executable, "-m", "multiclust_tpu.cli", "--platform",
-             "cpu", "-f", snp_file, "-a", "-I", "-k", "2", "-n", "2",
-             "--mesh", "8x1", "-d", str(outdir)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True)
-
-    p = run_cli(0, 1, 0, out1, 8)
-    out, _ = p.communicate(timeout=540)
-    assert p.returncode == 0, out[-3000:]
-    procs = [run_cli(i, 2, 12495, outM, 4) for i in range(2)]
+    p = _run_cli(extra, 0, 1, 0, out1, 8, snp_file)
+    out1_log, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out1_log[-3000:]
+    procs = [_run_cli(extra, i, 2, 12495, outM, 4, snp_file)
+             for i in range(2)]
     logs = [pp.communicate(timeout=540)[0] for pp in procs]
     assert all(pp.returncode == 0 for pp in procs), \
         "\n".join(log[-3000:] for log in logs)
 
     name = os.path.basename(snp_file)
 
-    def load(path):
+    def load(path, width=3):
         rows = []
         for ln in open(path):
-            parts = ln.split()
-            if len(parts) == 3 and parts[0] != "i":
-                rows.append(tuple(float(v) for v in parts))
+            vals = []
+            for v in ln.replace(":", " ").split():
+                try:
+                    vals.append(float(v))
+                except ValueError:
+                    pass
+            if len(vals) >= width:
+                rows.append(tuple(vals))
         return rows
 
     one = load(out1 / f"{name}.admix.K=2.etaik.txt")
     parts = (load(outM / f"{name}.admix.K=2.etaik.part0.txt")
              + load(outM / f"{name}.admix.K=2.etaik.part1.txt"))
     assert len(one) == len(parts) == 64 * 2
-    a = np.array(sorted(one))
-    b = np.array(sorted(parts))
-    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.array(sorted(one)),
+                                  np.array(sorted(parts)))
     assert (open(out1 / f"{name}.admix.K=2.pklm.txt").read()
             == open(outM / f"{name}.admix.K=2.pklm.txt").read())
+    # .out.txt now carries the global count.K - byte-identical
+    assert (open(out1 / f"{name}.admix.K=2.out.txt").read()
+            == open(outM / f"{name}.admix.K=2.out.txt").read())
+    # .popq: global per-locale aggregation == single-host bytes
+    assert (open(out1 / f"{name}_admix_popq_2.popq").read()
+            == open(outM / f"{name}_admix_popq_2.popq").read())
+    # .indivq parts cover the same rows as the single-host table
+    ione = load(out1 / f"{name}_admix_indivq_2.indivq")
+    iparts = (load(outM / f"{name}_admix_indivq_2.indivq.part0")
+              + load(outM / f"{name}_admix_indivq_2.indivq.part1"))
+    assert len(ione) == len(iparts) == 64
+    np.testing.assert_allclose(np.array(sorted(ione)),
+                               np.array(sorted(iparts)), atol=1e-12)
+    # -A adjusted Rand identical across the two paths
+    assert _compact_arand("\n".join(logs), snp_file) == \
+        _compact_arand(out1_log, snp_file)
+
+
+def test_two_process_cli_warm_start(snp_file, tmp_path):
+    """-Q/-P warm start under multi-process (warm_start_distributed):
+    every process reads the full parameter files, the fit starts from
+    the mesh-replicated warm point, and the converged logL matches the
+    single-process warm-start fit exactly (same program)."""
+    rng = np.random.default_rng(11)
+    I, L, K = 64, 32, 2
+    qfile = tmp_path / "warm.q"
+    pfile = tmp_path / "warm.p"
+    qfile.write_text("\n".join(
+        " ".join(f"{v:.6f}" for v in row)
+        for row in rng.dirichlet(np.full(K, 2.0), size=I)))
+    pfile.write_text("\n".join(
+        " ".join(f"{v:.6f}" for v in row)
+        for row in rng.uniform(0.2, 0.8, size=(L, K))))
+    extra = ["-k", str(K), "-Q", str(qfile), "-P", str(pfile)]
+
+    out1 = tmp_path / "one"
+    outM = tmp_path / "multi"
+    out1.mkdir(); outM.mkdir()
+    p = _run_cli(extra, 0, 1, 0, out1, 8, snp_file)
+    log1, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, log1[-3000:]
+    procs = [_run_cli(extra, i, 2, 12497, outM, 4, snp_file)
+             for i in range(2)]
+    logs = [pp.communicate(timeout=540)[0] for pp in procs]
+    assert all(pp.returncode == 0 for pp in procs), \
+        "\n".join(log[-3000:] for log in logs)
+
+    name = os.path.basename(snp_file)
+
+    def logl(path):
+        with open(path) as fh:
+            return float(fh.readline().split()[2])
+
+    ll1 = logl(out1 / f"{name}.admix.K=2.out.txt")
+    llM = logl(outM / f"{name}.admix.K=2.out.txt")
+    assert np.isfinite(ll1)
+    assert ll1 == llM, (ll1, llM)
 
 
 def test_ingest_single_process_row_padding(tmp_path):

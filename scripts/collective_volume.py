@@ -39,7 +39,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from multiclust_tpu.model import admixture  # noqa: E402
+from multiclust_tpu.model import admixture, mixture  # noqa: E402
 from multiclust_tpu.model.common import (EMConfig, ModelData,  # noqa: E402
                                          Params, k_padded_size,
                                          pad_params_k)
@@ -68,6 +68,35 @@ def collective_bytes(hlo: str):
         k = m.group(2)
         out[k] = out.get(k, 0) + total
     return out
+
+
+def compiled_mixture_hlo():
+    """Mixture EM step (C7) under the data mesh: the XLA/GSPMD path -
+    sharding I splits the x stream cleanly; the only material collective
+    is the M-step count-merge psum B = v^T @ x ([K, LM], constant in
+    shard count, like the admixture B) plus scalar eta/logL psums
+    (BASELINE.md round-4 headroom item 4)."""
+    mesh = mesh_mod.make_mesh((D, 1))
+    rng = np.random.default_rng(0)
+    x0 = rng.integers(0, 3, size=(I, L))
+    counts = np.stack([x0, 2 - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.zeros((I, L), jnp.int8),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    eta = rng.dirichlet(np.full(K, 2.0))
+    p = rng.dirichlet(np.full(2, 1.0), size=(K, L))
+    params = Params(eta=jnp.asarray(eta, jnp.float32),
+                    p=jnp.asarray(p, jnp.float32))
+    cfg = EMConfig(admixture=False, has_missing=False, biallelic=True,
+                   mesh=mesh)
+    md = mesh_mod.shard_model_data(md.prepare_for_em(bi=True), mesh)
+
+    def step(pp, dd):
+        new, ll, _, _ = mixture.em_step(pp, dd, cfg)
+        return new, ll
+
+    return jax.jit(step).lower(params, md).compile().as_text(), params
 
 
 def compiled_step_hlo(biallelic: bool, mm: int = 1):
@@ -138,6 +167,18 @@ def main():
                 f"reduction; + A/t psum over model = "
                 f"{(I // (D // mm)) * (Kp + 1) * 4 / 1e6:.3f} MB")
         print(f"  analytic B psum     {b_bytes/1e6:10.3f} MB ({note})")
+
+    hlo, params = compiled_mixture_hlo()
+    vols = collective_bytes(hlo)
+    print("\nMIXTURE (C7, XLA/GSPMD): per-iteration collective payload")
+    for k, v in sorted(vols.items()):
+        print(f"  {k:20s} {v/1e6:10.3f} MB")
+    print(f"  {'TOTAL':20s} {sum(vols.values())/1e6:10.3f} MB")
+    Km, Lm = params.p.shape[0], params.p.shape[1]
+    print(f"  analytic count-merge psum (v^T x, [K, L] biallelic fast "
+          f"path) = {Km*Lm*4/1e6:.3f} MB, constant in shard count - at "
+          f"the mixture roofline (~610 Gcells/s/chip) the >=80% "
+          f"efficiency point sits near d~50 for BASELINE config 5")
     print("""
 Scaling model (BASELINE config 5: I=100k, L=500k, K=20, v5e):
   per-iter compute   ~ I*L*2 cells / 200 Gcells/s / d  = 0.50 s / d

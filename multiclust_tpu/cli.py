@@ -432,7 +432,11 @@ def _main(argv: Optional[List[str]] = None) -> int:
         # written as per-process row-block parts.  Remaining single-host
         # features (PARITY.md): -b bootstrap, --impute, and -w combined
         # with -A (the per-repeat arand runs inside the engine loop).
-        for flag, name in ((opt.n_bootstrap, "-b bootstrap"),
+        bs_exotic = opt.n_bootstrap and (
+            opt.target_ll or opt.target_revisit or opt.n_seconds
+            or opt.verbosity > 3)
+        for flag, name in ((bs_exotic,
+                            "-b with -u/-t/-v>3 (serial bootstrap)"),
                            (opt.n_repeat != 1 and bool(opt.afile),
                             "-w combined with -A"),
                            (opt.imputed_outfile, "--impute outfile")):
@@ -503,6 +507,29 @@ def _main(argv: Optional[List[str]] = None) -> int:
                              checkpoint_dir=None)
         if opt.parallel:
             print(f"{est.last.max_logL:f}")
+
+        if opt.n_bootstrap:
+            # BATCHED bootstrap under multi-process: the replicate
+            # lattices are pure SPMD programs over the global md (the
+            # simulate/init/fit chain never materializes sharded arrays
+            # on the host), so every process runs the identical
+            # computation and harvests the replicated ts scalars.  The
+            # serial path (-u/-t/-v>3) is gated above; checkpointing
+            # stays off (a partially-visible checkpoint file could
+            # diverge the processes).
+            from multiclust_tpu.stats.bootstrap import run_bootstrap
+            key, sub = jax.random.split(key)
+
+            def blog(rep, ts, ntime):
+                print(f"Bootstrap dataset {rep + 1} "
+                      f"(of {opt.n_bootstrap}): test statistics "
+                      f"bs={ts:f} obs={est.ts:f} ({ntime / (rep + 1):f})")
+
+            bres = run_bootstrap(sub, md, opt, n_parameters, est.ts,
+                                 est.h0_params, opt.ploidy, log=blog,
+                                 checkpoint_dir=None)
+            print(f"p-value to reject H0: K={bres.null_K} is "
+                  f"{bres.pvalue:f}")
         return 0
 
     ds = read_structure(opt.filename, opt)

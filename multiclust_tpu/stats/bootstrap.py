@@ -62,6 +62,11 @@ def simulate_replicate(key, params: Params, md: ModelData, ploidy: int,
         q = params.p[z]                                  # [I, L, M]
     q = jnp.where(md.mask[None], q, 0.0)
     counts = _multinomial_counts(key, q, n_obs, ploidy)
+    if md.row_valid is not None:
+        # mesh-padding rows (runtime/ingest) are inert ONLY because
+        # their counts are zero - a replicate must not hallucinate
+        # genotypes for them
+        counts = jnp.where(md.row_valid[:, None, None], counts, 0.0)
     return counts
 
 

@@ -230,6 +230,35 @@ def test_two_process_cli_warm_start(snp_file, tmp_path):
     assert ll1 == llM, (ll1, llM)
 
 
+def test_two_process_cli_bootstrap(snp_file, tmp_path):
+    """-b parametric bootstrap under multi-process (batched lattice
+    path): the replicate simulate/init/fit chain is pure SPMD over the
+    global md, so the 2-process run reproduces the single-process ts
+    list and p-value exactly (same key, same program)."""
+    out1 = tmp_path / "one"
+    outM = tmp_path / "multi"
+    out1.mkdir(); outM.mkdir()
+    extra = ["-k", "2", "-n", "1", "-b", "3", "-T", "60"]
+
+    p = _run_cli(extra, 0, 1, 0, out1, 8, snp_file)
+    log1, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, log1[-3000:]
+    procs = [_run_cli(extra, i, 2, 12499, outM, 4, snp_file)
+             for i in range(2)]
+    logs = [pp.communicate(timeout=540)[0] for pp in procs]
+    assert all(pp.returncode == 0 for pp in procs), \
+        "\n".join(log[-3000:] for log in logs)
+
+    def bs_lines(log):
+        return [ln for ln in log.splitlines()
+                if ln.startswith(("Bootstrap dataset", "p-value"))]
+
+    ref = bs_lines(log1)
+    assert len(ref) == 4 and ref[-1].startswith("p-value")
+    for log in logs:
+        assert bs_lines(log) == ref, (bs_lines(log), ref)
+
+
 def test_ingest_single_process_row_padding(tmp_path):
     """load_structure_distributed with I not divisible by the data axis:
     rows pad to a shard multiple with row_valid masking, and the

@@ -242,7 +242,10 @@ def jagged_throughput(I=16384, L=2048, K=20, frac_snp=0.8, M_big=8,
         params = _pad_k(params, cfg)
     md_fit = md
     if bucketed:
-        plan = plan_buckets(Ml, M)
+        # TIGHT plan (production selection, runtime/multistart): the
+        # fused single-launch kernel only needs the concatenated lane
+        # total tile-aligned, not each bucket
+        plan = plan_buckets(Ml, M, tight=True)
         md_fit = bucketize_model_data(md, plan)
 
     # mirror the main bench's adaptive-steady-state semantics

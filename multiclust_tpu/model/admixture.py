@@ -685,19 +685,31 @@ def _bucketed_fullstep_fused(params, bd, cfg, want_ll):
     K = eta.shape[-1]
     lane_sizes = [md_b.L * md_b.M for md_b in bd.buckets]
     LM = sum(lane_sizes)
-    ti, tl, LMp = pick_layout(bd.I, K, LM)
-    if not ti or LMp != LM:
-        # bucket lane counts are 1024-multiples (model/bucketed._pad_L),
-        # so any admissible tile divides LM exactly; LMp > LM would mean
-        # a non-hoisted per-iteration x pad - decline instead
-        return None
     x2 = bd.x_lanes
     if x2 is None:
+        # prepare_for_em not called (shouldn't happen in the engine):
+        # build the lane matrix here - the pad is then per-iteration
+        # (not hoisted), so this path is correct but slow
+        from multiclust_tpu.model.bucketed import lane_pad
         x2 = jnp.concatenate(
             [md_b.x_storage_2d for md_b in bd.buckets], axis=1)
+        W = lane_pad(bd.I, LM)
+        if W != LM:
+            x2 = jnp.pad(x2, ((0, 0), (0, W - LM)))
+    W = x2.shape[1]
+    ti, tl, LMp = pick_layout(bd.I, K, W)
+    if not ti or LMp != W:
+        # W is already tile-aligned (prepare_for_em lane_pad), so this
+        # only fires when I doesn't divide any ladder tile or the
+        # resident-B budget fails - the chained/XLA fallbacks take over
+        return None
     p2 = jnp.concatenate(
         [p_b.reshape(K, n) for p_b, n in zip(params.p, lane_sizes)],
         axis=1)
+    if W != LM:
+        # TIGHT plans: only the [Kp, W-LM] zero tail of p2 is built per
+        # iteration (sub-100KB) - the x tail pad is baked into x_lanes
+        p2 = jnp.pad(p2, ((0, 0), (0, W - LM)))
     c = (sum(jnp.sum(md_b.miss.astype(eta.dtype), axis=1, keepdims=True)
              for md_b in bd.buckets) if cfg.has_missing
          else jnp.zeros((bd.I, 1), eta.dtype))

@@ -65,6 +65,16 @@ def _pad_L(L_real: int, M_b: int) -> int:
     return -(-L_real // step) * step
 
 
+def lane_pad(I: int, LM: int) -> int:
+    """Tail-padded width of the concatenated TIGHT lane matrix: a
+    multiple of the fullstep ladder's tile lane counts so the fused
+    kernel admits without per-iteration pads.  512 suffices whenever I
+    divides the (1024, 512) first-ladder tile; otherwise 1024 covers the
+    (512, 1024) entry too (ops/kernels._FULLSTEP_TILES)."""
+    m = 512 if I % 1024 == 0 else 1024
+    return -(-LM // m) * m
+
+
 class BucketedData(NamedTuple):
     """Tuple-of-ModelData pytree consumed by em_step_bucketed; loci are
     in plan-sorted order, each bucket trimmed to its own M ceiling and
@@ -103,18 +113,35 @@ class BucketedData(NamedTuple):
     def prepare_for_em(self, bi: bool = False) -> "BucketedData":
         buckets = tuple(b.prepare_for_em(bi=False)
                         for b in self.buckets)
-        return self._replace(
-            buckets=buckets,
-            x_lanes=jnp.concatenate([b.x_flat for b in buckets], axis=1))
+        x = jnp.concatenate([b.x_flat for b in buckets], axis=1)
+        # TIGHT plans (plan_buckets(tight=True)): the concatenated lane
+        # count is padded here, ONCE, to the fused kernel's tile multiple
+        # - the kernel treats lanes independently, so only the TOTAL
+        # needs alignment, not each bucket (round-4 probe: per-bucket
+        # 1024-lane alignment was 20% of the lane space on the bench mix
+        # and the entire gap to the uniform rate)
+        W = lane_pad(self.I, x.shape[1])
+        if W != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, W - x.shape[1])))
+        return self._replace(buckets=buckets, x_lanes=x)
 
 
 def plan_buckets(n_alleles: np.ndarray, M_full: int,
                  min_bucket: int = 64,
-                 max_buckets: int = 8) -> Optional[JaggedPlan]:
+                 max_buckets: int = 8,
+                 tight: bool = False) -> Optional[JaggedPlan]:
     """Group loci by allele count into at most ``max_buckets`` buckets of
     at least ``min_bucket`` loci (tiny groups merge UPWARD into the next
     larger-M bucket, which only adds padding, never drops lanes).
-    Returns None for degenerate inputs (single group)."""
+    Returns None for degenerate inputs (single group).
+
+    ``tight`` drops the per-bucket tile alignment (pad_Ls = real L_b):
+    correct for the single-launch FUSED path and the XLA loop, where
+    only the concatenated lane total needs alignment
+    (BucketedData.prepare_for_em pads the tail once).  The CHAINED
+    per-bucket-launch fallback needs the aligned plan - callers pick
+    tight only when the fused kernel admits the tight lane width
+    (runtime/multistart.maximize_likelihood)."""
     n_alleles = np.asarray(n_alleles)
     L = n_alleles.shape[0]
     order = np.argsort(n_alleles, kind="stable")
@@ -143,7 +170,7 @@ def plan_buckets(n_alleles: np.ndarray, M_full: int,
     Ms = tuple(int(sorted_m[hi - 1]) for lo, hi in ranges)
     inv = np.empty(L, np.int64)
     inv[order] = np.arange(L)
-    pad_Ls = tuple(_pad_L(hi - lo, M_b)
+    pad_Ls = tuple((hi - lo) if tight else _pad_L(hi - lo, M_b)
                    for (lo, hi), M_b in zip(ranges, Ms))
     return JaggedPlan(order=order, inv_order=inv,
                       ranges=tuple((int(a), int(b)) for a, b in ranges),

@@ -655,10 +655,27 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     if (cfg.admixture and not cfg.eta_constrained and cfg.mesh is None
             and md.M > 2):
         from multiclust_tpu.model.bucketed import bucketize_model_data, \
-            plan_buckets, worth_bucketing
+            lane_pad, plan_buckets, worth_bucketing
         n_all = np.asarray(jax.device_get(md.n_alleles))
         if worth_bucketing(n_all):
-            plan = plan_buckets(n_all, md.M)
+            # TIGHT plan (no per-bucket tile alignment - the fused
+            # single-launch kernel and the XLA loop only need the
+            # concatenated total aligned, and per-bucket pads were the
+            # entire gap to the uniform rate, BASELINE round-4 cont.);
+            # fall back to the aligned plan when the fused kernel will
+            # NOT admit the tight width (the chained per-bucket
+            # launches need per-launch tile alignment)
+            plan = plan_buckets(n_all, md.M, tight=True)
+            if plan is not None and cfg.use_pallas != "off" and cfg.k_true:
+                from multiclust_tpu.model.common import k_padded_size
+                from multiclust_tpu.ops.kernels import pick_layout
+                LMt = sum((hi - lo) * M_b
+                          for (lo, hi), M_b in zip(plan.ranges, plan.Ms))
+                W = lane_pad(md_fit.I, LMt)
+                Kp = k_padded_size(cfg.k_true, 32)
+                ti, _, LMp = pick_layout(md_fit.I, Kp, W)
+                if not ti or LMp != W:
+                    plan = plan_buckets(n_all, md.M)
             if plan is not None:
                 md_fit = bucketize_model_data(md_fit, plan)
                 bucketed = True

@@ -115,6 +115,47 @@ def test_bucketed_pallas_chain_matches(rng):
                - float(df64.df_value(llr))) < 5e-2
 
 
+def test_bucketed_fused_tight_matches(rng):
+    """The single-launch FUSED path on a TIGHT plan (no per-bucket lane
+    alignment - prepare_for_em pads only the concatenated tail, round-4
+    probe: per-bucket pads were 20% of the lane space and the whole gap
+    to the uniform rate) matches the dense XLA step."""
+    from multiclust_tpu.model import admixture as adm
+    from multiclust_tpu.model.bucketed import lane_pad
+    from multiclust_tpu.model.common import k_padded_size, pad_params_k
+
+    md, params, Ml = make_mixed_panel(rng, I=64, missing=0.1)
+    md8 = md._replace(x=md.x.astype(jnp.int8), miss=md.miss.astype(jnp.int8))
+    K = 3
+    params32 = Params(eta=params.eta.astype(jnp.float32),
+                      p=params.p.astype(jnp.float32))
+    cfg = EMConfig(admixture=True, has_missing=True)
+    ref, llr, _ = admixture.em_step(
+        params32, md._replace(x=md.x.astype(jnp.float32),
+                              miss=md.miss.astype(jnp.float32)), cfg)
+
+    plan = plan_buckets(np.asarray(Ml), md.M, min_bucket=4, tight=True)
+    # tight plan: zero per-bucket padding
+    assert plan.pad_Ls == tuple(hi - lo for lo, hi in plan.ranges)
+    bd = bucketize_model_data(md8, plan).prepare_for_em()
+    LM = sum(b.L * b.M for b in bd.buckets)
+    assert bd.x_lanes.shape[1] == lane_pad(64, LM) >= LM
+    cfg_k = cfg._replace(use_pallas="interpret", k_true=K)
+    pad = pad_params_k(params32, k_padded_size(K, 32))
+    from multiclust_tpu.model.bucketed import split_params_like
+    # the FUSED path must engage on the tail-padded lane matrix
+    assert adm._bucketed_fullstep_fused(
+        split_params_like(pad, bd), bd, cfg_k, True) is not None
+    out, llb, _ = admixture.em_step(pad, bd, cfg_k)
+    got = merge_params_like(out, bd, md.M)
+    np.testing.assert_allclose(np.asarray(got.p[:K]), np.asarray(ref.p),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.eta[:, :K]),
+                               np.asarray(ref.eta), rtol=2e-4, atol=1e-5)
+    assert abs(float(df64.df_value(llb))
+               - float(df64.df_value(llr))) < 5e-2
+
+
 @pytest.mark.parametrize("accel", [0, 1])
 def test_bucketed_production_engine(rng, accel):
     """The multi-start engine auto-buckets jagged admixture fits (plain

@@ -177,7 +177,9 @@ def main() -> int:
         # interpolated, not probed)
         emits = ((False, False), (True, False), (True, True))
         for ti, tl, b_max in kn._FULLSTEP_BI_TILES:
-            for Kp in ((32,) if args.fast else (32, 64, 128)):
+            # Kp=256 probed OK round-4 continued (the per-copy budget
+            # scales correctly: Lp shrinks with Kp)
+            for Kp in ((32,) if args.fast else (32, 64, 128, 256)):
                 for compute_t, with_miss in variants:
                     emit_list = [(eb, ea, None) for eb, ea in
                                  (emits if compute_t and with_miss

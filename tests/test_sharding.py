@@ -458,6 +458,68 @@ def test_warm_start_under_mesh_matches(data):
                                np.asarray(ref.best_params.eta), atol=1e-7)
 
 
+def test_bi_repr_loci_sharded_chunked_kernels(monkeypatch):
+    """The loci-sharded p0-representation with the chained one-pass
+    CHUNKED kernels (resident ladder disabled, tiny chunk budget so each
+    model shard's loci split into 2 chained launches): emit_a/emit_b
+    plumb through admixture_fullstep_biallelic_chunked (biobank-L
+    multi-chip shards)."""
+    import multiclust_tpu.ops.kernels as kmod
+    from multiclust_tpu.model.common import k_padded_size, pad_params_k
+    from multiclust_tpu.runtime.multistart import _loci_pad_target, \
+        _pad_params_loci, _to_bi_repr, _unpad_k
+
+    monkeypatch.setattr(kmod, "pick_layout_biallelic",
+                        lambda *a, **k: (0, 0, 0))
+    monkeypatch.setattr(kmod, "_FULLSTEP_BI_TILES",
+                        ((64, 128, 2 * 128 * 32 * 4),))
+
+    rng = np.random.default_rng(33)
+    I, L, K = 128, 500, 3
+    miss = rng.binomial(2, 0.1, size=(I, L))
+    x0 = rng.binomial(2 - miss, 0.5)
+    counts = np.stack([x0, 2 - miss - x0], axis=2)
+    md = ModelData(x=jnp.asarray(counts, jnp.int8),
+                   miss=jnp.asarray(miss, jnp.float32),
+                   mask=jnp.ones((L, 2), bool),
+                   n_alleles=jnp.full((L,), 2, jnp.int32))
+    p0t = rng.uniform(0.2, 0.8, size=(K, L))
+    params = Params(
+        eta=jnp.asarray(rng.dirichlet(np.full(K, 2.0), size=I),
+                        jnp.float32),
+        p=jnp.asarray(np.stack([p0t, 1 - p0t], axis=2), jnp.float32))
+
+    cfg0 = EMConfig(admixture=True, has_missing=True)
+    ref_params, ref_ll, _ = jax.jit(
+        admixture.em_step, static_argnums=2)(
+            params, md._replace(x=md.x.astype(jnp.float32)), cfg0)
+
+    m = mesh_mod.make_mesh((2, 2), devices=jax.devices()[:4])
+    cfg = cfg0._replace(use_pallas="interpret", biallelic=True, k_true=K,
+                        mesh=m)
+    Kp = k_padded_size(K, 32)
+    # the per-shard layout must really be multi-chunk
+    ti, tl, Lc, n_chunks = kmod.pick_layout_biallelic_chunked(
+        I // 2, Kp, -(-L // 2))
+    assert n_chunks >= 2, (ti, tl, Lc, n_chunks)
+    pad = pad_params_k(params, Kp)
+    Lfit = _loci_pad_target(L, I, cfg)
+    md_fit = mesh_mod.pad_md_rows_loci(md, I, Lfit)
+    pad = _pad_params_loci(pad, Lfit)
+    bi = _to_bi_repr(pad, cfg, I, Lfit)
+    assert bi.p.ndim == 2, "chunked layout must admit the representation"
+    md_s = mesh_mod.shard_model_data(md_fit.prepare_for_em(bi=True), m)
+    out, ll, _ = jax.jit(admixture.em_step, static_argnums=2)(
+        bi, md_s, cfg)
+    got = _unpad_k(out, cfg, I, L)
+    np.testing.assert_allclose(np.asarray(got.eta),
+                               np.asarray(ref_params.eta), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(got.p),
+                               np.asarray(ref_params.p), atol=3e-6)
+    assert abs(float(df64.df_value(ll))
+               - float(df64.df_value(ref_ll))) < 1e-2
+
+
 def test_bi_repr_loci_sharded_streamed_kernels(monkeypatch):
     """The loci-sharded p0-representation with the STREAMED two-pass
     kernels (resident ladder disabled): emit_a/emit_b plumb through

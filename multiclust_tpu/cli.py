@@ -439,6 +439,10 @@ def _main(argv: Optional[List[str]] = None) -> int:
                             "-b with -u/-t/-v>3 (serial bootstrap)"),
                            (opt.n_repeat != 1 and bool(opt.afile),
                             "-w combined with -A"),
+                           # mode imputation over a row SHARD would use
+                           # the shard-local mode, silently diverging
+                           # from the single-host global-mode semantics
+                           (opt.imputation_method, "-m imputation"),
                            (opt.imputed_outfile, "--impute outfile")):
             if flag:
                 raise UsageError(

@@ -82,7 +82,13 @@ def fit(params0: Params, md: ModelData, cfg: EMConfig, *,
     accel = cfg.accel_scheme != int(AccelScheme.NONE)
 
     def timed_out() -> bool:
-        return bool(n_seconds) and (time.time() - t0) > n_seconds
+        if not n_seconds:
+            return False
+        # clock decisions gate the next (possibly collective-
+        # participating) jit call: sync across processes so a meshed
+        # multi-host -t fit cannot hang on divergent clocks
+        from multiclust_tpu.runtime.mesh import sync_host_flag
+        return sync_host_flag((time.time() - t0) > n_seconds)
 
     # warmup (em_alg.c:61-64)
     for _ in range(cfg.n_init_iter):

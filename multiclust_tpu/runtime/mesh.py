@@ -50,6 +50,26 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         num_processes=num_processes, process_id=process_id)
 
 
+def sync_host_flag(flag) -> bool:
+    """Make a host-side decision derived from NON-replicated state (wall
+    clocks) identical on every process: process 0's value wins.
+
+    Loop decisions gate collective-participating jit calls, so a
+    divergent per-process clock (-t / n_seconds / -w budgets) could let
+    one process exit a segment loop while another launches a psum - a
+    mesh hang.  Replicated-scalar decisions (logL, stopped flags) don't
+    need this: every process computes the identical value.  No-op
+    single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return bool(flag)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    return bool(np.asarray(multihost_utils.broadcast_one_to_all(
+        jnp.asarray(bool(flag)))))
+
+
 import functools
 
 

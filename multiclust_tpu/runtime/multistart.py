@@ -377,9 +377,13 @@ def fit_batch(params_b: Params, md: ModelData, cfg: EMConfig, *,
         stopped = np.asarray(state.stopped)
         if stopped.all():
             break
-        if n_seconds and (time.time() - t0) > n_seconds:
-            timed_out = True
-            break
+        if n_seconds:
+            # clock decisions must be process-consistent: they gate the
+            # next collective-participating segment (mesh.sync_host_flag)
+            from multiclust_tpu.runtime.mesh import sync_host_flag
+            if sync_host_flag((time.time() - t0) > n_seconds):
+                timed_out = True
+                break
         state = seg(state, md)
     return state, timed_out
 
@@ -594,28 +598,32 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
         elif harvested.all():
             return  # nothing active and no more chains wanted
 
-        if opt.n_seconds and (time.time() - t0) > opt.n_seconds:
-            # harvest still-active lanes as timed out (best-so-far logL
-            # counts, multiclust.c:538-560 with time_stop)
-            timed_out = True
-            lls = np.asarray(state.logL_hi + state.logL_lo)
-            convs = np.asarray(state.converged)
-            iters = np.asarray(state.n_iter)
-            faileds = np.asarray(state.failed)
-            monos = np.asarray(state.mono_viol)
-            for lane in np.nonzero(~harvested)[0]:
-                harvested[lane] = True
-                if _bookkeep_lane(
-                        res, opt, n_parameters, md.I, float(lls[lane]),
-                        bool(convs[lane]), int(iters[lane]),
-                        bool(faileds[lane]), bool(monos[lane]),
-                        lambda ln=lane: _unpad_k(
-                            tree_map(lambda t: t[ln], state.params), cfg,
-                            md.I, md.L, bd=md_fit, M_full=md.M),
-                        True, on_improve=on_improve, progress=progress):
-                    return
-            res.time_stop = True
-            return
+        if opt.n_seconds:
+            from multiclust_tpu.runtime.mesh import sync_host_flag
+            if sync_host_flag((time.time() - t0) > opt.n_seconds):
+                # harvest still-active lanes as timed out (best-so-far
+                # logL counts, multiclust.c:538-560 with time_stop);
+                # clock decisions sync across processes (mesh hang
+                # otherwise - see sync_host_flag)
+                lls = np.asarray(state.logL_hi + state.logL_lo)
+                convs = np.asarray(state.converged)
+                iters = np.asarray(state.n_iter)
+                faileds = np.asarray(state.failed)
+                monos = np.asarray(state.mono_viol)
+                for lane in np.nonzero(~harvested)[0]:
+                    harvested[lane] = True
+                    if _bookkeep_lane(
+                            res, opt, n_parameters, md.I, float(lls[lane]),
+                            bool(convs[lane]), int(iters[lane]),
+                            bool(faileds[lane]), bool(monos[lane]),
+                            lambda ln=lane: _unpad_k(
+                                tree_map(lambda t: t[ln], state.params),
+                                cfg, md.I, md.L, bd=md_fit, M_full=md.M),
+                            True, on_improve=on_improve,
+                            progress=progress):
+                        return
+                res.time_stop = True
+                return
 
         state = seg(state, md_fit)
 

@@ -91,9 +91,15 @@ def timed_model_estimation(key, md, ds, opt: Options, n_parameters_fn,
         esec = time.time() - start
         st.total_seconds = esec
         if not enough_time or opt.max_repeat_seconds:
-            if not enough_time and esec > opt.repeat_seconds:
+            # -w t/m clock decisions gate whole estimate_model rounds
+            # (collective-participating under --mesh): sync them across
+            # processes (runtime/mesh.sync_host_flag)
+            from multiclust_tpu.runtime.mesh import sync_host_flag
+            if not enough_time and sync_host_flag(
+                    esec > opt.repeat_seconds):
                 enough_time = True
-            if opt.max_repeat_seconds and esec > opt.max_repeat_seconds:
+            if opt.max_repeat_seconds and sync_host_flag(
+                    esec > opt.max_repeat_seconds):
                 break
 
     n = st.n_repeats

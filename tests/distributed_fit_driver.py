@@ -43,6 +43,11 @@ def main():
     opt = Options(admixture=True, alleles_are_indices=True, n_init=2,
                   batch_chains=2, min_K=2, max_K=2, n_rand_em_init=2,
                   dtype="float64")
+    # DRIVER_N_SECONDS: wall-clock stop regime (-t) - exercises the
+    # process-synced clock decisions (runtime/mesh.sync_host_flag)
+    if os.environ.get("DRIVER_N_SECONDS"):
+        opt.n_seconds = float(os.environ["DRIVER_N_SECONDS"])
+        opt.n_init = 10_000  # time regime, not count, ends the run
     mesh = cached_mesh((dd, mm))
     md, info = load_structure_distributed(data_path, opt, mesh,
                                           dtype=np.float64)

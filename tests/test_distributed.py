@@ -230,6 +230,37 @@ def test_two_process_cli_warm_start(snp_file, tmp_path):
     assert ll1 == llM, (ll1, llM)
 
 
+def test_two_process_timed_regime_no_hang(snp_file, tmp_path):
+    """-t (wall-clock stop): per-process clocks could let one process
+    exit the segment loop while the other launches a psum - a mesh
+    hang.  The synced decisions (runtime/mesh.sync_host_flag) keep both
+    processes in lockstep: the 2-process timed run must EXIT cleanly
+    with both processes agreeing on the harvest."""
+    outs = [tmp_path / f"t{i}.txt" for i in range(2)]
+    procs = []
+    for i in range(2):
+        env_extra = {"DRIVER_N_SECONDS": "4"}
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["DRIVER_LOCAL_DEVICES"] = "4"
+        env.update(env_extra)
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, DRIVER, str(i), "2", "12501", snp_file,
+             str(outs[i]), "8", "1"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)   # a hang trips this
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n".join(log[-3000:] for log in logs)
+    results = [_read_result(o) for o in outs]
+    # both processes harvested the identical replicated result
+    assert results[0][0] == results[1][0], results
+
+
 def test_two_process_cli_bootstrap(snp_file, tmp_path):
     """-b parametric bootstrap under multi-process (batched lattice
     path): the replicate simulate/init/fit chain is pure SPMD over the

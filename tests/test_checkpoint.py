@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,6 +69,7 @@ def _bootstrap_setup(rng):
     return ds, md, opt, npar, est
 
 
+@pytest.mark.slow
 def test_bootstrap_checkpoint_resume_identical(tmp_path, rng, monkeypatch):
     """Kill a batched -b run mid-way, resume from the checkpoint, and get
     an IDENTICAL ts list and p-value (VERDICT r3 item 4; the reference's
@@ -111,6 +113,7 @@ def test_bootstrap_checkpoint_resume_identical(tmp_path, rng, monkeypatch):
     assert res.pvalue == ref.pvalue
 
 
+@pytest.mark.slow
 def test_bootstrap_checkpoint_serial_path(tmp_path, rng, monkeypatch):
     """Same contract on the serial per-replicate loop (-t/-u/verbose
     regimes): interrupt after one replicate, resume, identical ts."""

@@ -19,6 +19,10 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER = os.path.join(REPO, "tests", "distributed_fit_driver.py")
 
+# the 2-process tests each spawn real jax.distributed subprocesses
+# (minutes apiece); keep them out of the fast edit-test tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def snp_file(tmp_path_factory):

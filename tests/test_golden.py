@@ -18,6 +18,10 @@ import pytest
 REF_SRC = "/root/reference"
 BUILD = "/tmp/refbuild"
 
+# every test here builds and runs the reference binary to convergence;
+# keep them out of the fast edit-test tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="session")
 def ref_binary():

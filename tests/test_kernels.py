@@ -579,6 +579,7 @@ def test_check_interval_adaptive_fit(setup, use_pallas):
         (r1.n_iter, ra.n_iter)
 
 
+@pytest.mark.slow
 def test_bootstrap_lattice_bi_repr_matches_xla():
     """Batched bootstrap replicate lattices on biallelic panels carry the
     p0-representation (fused biallelic kernels under the replicate x init

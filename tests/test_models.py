@@ -347,6 +347,7 @@ def test_mixture_biallelic_fast_path_matches_generic(rng, ploidy):
                - float(df64.df_value(ll_gen))) < 1e-8
 
 
+@pytest.mark.slow
 def test_property_random_shapes_match_oracle(rng):
     """Randomized property sweep: both models' EM steps match the f64
     numpy oracle across random (I, L, M, K, ploidy, missing) combos -

@@ -1,6 +1,7 @@
 """Robustness: numeric guards, df64 stress, initializer quality, meters."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,6 +113,7 @@ def test_df64_sub_resolves_tiny_delta():
     assert abs(delta - 1e-3) < 1e-4
 
 
+@pytest.mark.slow
 def test_randem_init_beats_random(rng):
     """Rand-EM's winning start should have logL >= the typical random
     start's (rnd_init.c:123-161 rationale)."""
@@ -171,6 +173,7 @@ def test_trace_printer(capsys):
     assert "(S1): -90.00" in lines[1] and "10" in lines[1]
 
 
+@pytest.mark.slow
 def test_bootstrap_lrt_statistical_validity(rng):
     """The bootstrap LRT pipeline end-to-end: structured K=2 data rejects
     H0: K=1; unstructured (K=1) data does not (run_bootstrap,

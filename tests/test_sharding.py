@@ -67,6 +67,8 @@ def test_em_step_shard_invariance(data, shape, admix):
                - float(df64.df_value(ref_ll))) < 1e-8
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_sharded_full_fit_matches(data):
     """A compiled fit on a 4x2 mesh equals the single-device fit."""
     from multiclust_tpu.opt.driver import make_compiled_fit
@@ -268,6 +270,8 @@ def test_bi_repr_under_mesh_matches_xla(shape, missing_rate):
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.slow
+@pytest.mark.slow
 def test_bi_repr_production_engine_meshed(mesh_shape):
     """The production engine on an (8,1) or loci-sharded (4,2) mesh with
     biallelic int8 data runs the p0-representation kernels per shard
@@ -320,6 +324,8 @@ def test_bi_repr_production_engine_meshed(mesh_shape):
     assert out.best_params.p.shape == (3, L, 2)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_bootstrap_batched_under_mesh_matches(data):
     """-b with --mesh runs the batched (replicate x init) lattice with
     I/L sharded on the mesh, matching the unsharded lattice's test
@@ -397,6 +403,8 @@ def test_padded_rows_are_inert(data):
                    - float(df64.df_value(ll_r))) < 1e-9
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_dryrun_no_involuntary_rematerialization():
     """The multi-chip dryrun (production engine on the 8-device mesh,
     incl. the biallelic p0-representation segment) must compile WITHOUT

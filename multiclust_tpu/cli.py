@@ -65,6 +65,9 @@ def parse_args(argv: List[str]) -> Options:
                 opt.check_interval = int(_need(argv, i, arg)); i += 1
                 if opt.check_interval < 0:
                     raise UsageError("--check-interval must be >= 0")
+            elif name.startswith("com"):
+                # --compile-cache <dir|off> (TPU extension)
+                opt.compile_cache = _need(argv, i, arg); i += 1
             elif name.startswith("ch"):
                 opt.checkpoint_dir = _need(argv, i, arg); i += 1
             else:
@@ -340,6 +343,10 @@ TPU-NATIVE OPTIONS (no reference counterpart)
 \t\tx M loci shards; 'auto' puts every device on the data axis.
 \t--checkpoint <dir>
 \t\tPersist/resume the multi-start sweep state.
+\t--compile-cache <dir|off>
+\t\tPersistent XLA compilation cache (default
+\t\t~/.cache/multiclust-tpu/xla); repeat invocations skip
+\t\tevery jit compile.  'off' disables.
 \t--check-interval <n>
 \t\tEvaluate convergence only every n-th plain-EM iteration; the
 \t\titerations in between skip the log-likelihood entirely (faster
@@ -388,6 +395,23 @@ def _main(argv: Optional[List[str]] = None) -> int:
     opt = parse_args(argv)
     if platform == "cpu":
         opt.dtype = "float64"  # reference-precision semantics on CPU
+
+    # persistent XLA compilation cache (VERDICT r4 item 1): repeat CLI
+    # invocations skip every jit compile.  Default on; --compile-cache
+    # off disables, --compile-cache <dir> relocates.
+    if opt.compile_cache != "off":
+        import os as _os2
+        cache_dir = opt.compile_cache or _os2.path.join(
+            _os2.path.expanduser("~"), ".cache", "multiclust-tpu", "xla")
+        try:
+            _os2.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.1)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+        except OSError:
+            pass  # unwritable cache location: run uncached
 
     # multi-host bring-up (no-op single-process; SURVEY.md section 5:
     # jax.distributed + XLA collectives replace the reference's

@@ -165,6 +165,11 @@ class Options:
                                       # fits on an accelerator backend)
     mesh_shape: Optional[tuple] = None  # (data_shards, loci_shards)
     checkpoint_dir: Optional[str] = None  # --checkpoint: sweep persistence
+    # --compile-cache: persistent XLA compilation cache directory; None =
+    # the default ~/.cache/multiclust-tpu/xla, "off" disables.  Repeat CLI
+    # invocations then skip every jit compile (the reference has no
+    # compile step; ours dominated repeat-run startup before round 5).
+    compile_cache: Optional[str] = None
     # --check-interval N: evaluate the log likelihood (and hence the
     # convergence/monotonicity checks of stop(), em_alg.c:101-143) only
     # every N-th plain-EM iteration; the N-1 iterations between checks run

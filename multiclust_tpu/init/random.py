@@ -265,6 +265,184 @@ def initialize(key, md: ModelData, K: int, cfg: EMConfig,
     return random_initialize(key, md, K, cfg, method, codes)
 
 
+# ---------------------------------------------------------------------------
+# dynamic-K initialization (mixed-K swept lattices, runtime/ksweep.py)
+#
+# Same math as the static initializers with the TRUE cluster count ``kdyn``
+# a TRACED scalar and all arrays padded to the static lane width ``Kp`` -
+# one compiled init program then serves every K of a K-sweep (the static
+# versions recompile per K; measured ~90 s per K through the TPU tunnel).
+# Draw-for-draw parity with the static path is exact: jax.random.randint
+# yields identical values for traced vs static bounds, and
+# choice(..., replace=False) has the prefix property (first k of a
+# Kp-draw == a k-draw), both verified in tests/test_ksweep.py.
+
+def _lane_lt(kdyn, Kp: int):
+    return jnp.arange(Kp) < kdyn
+
+
+def random_allele_center_dyn(key, md: ModelData, codes: Array, kdyn,
+                             Kp: int) -> Array:
+    """random_allele_center (rnd_init.c:496-580) with a traced K >= 2."""
+    degenerate = jnp.max(md.n_alleles) < kdyn
+    return jax.lax.cond(
+        degenerate,
+        lambda k: random_allele_partition(k, md, codes, kdyn),
+        lambda k: _allele_center_impl(k, md, codes, kdyn),
+        key)
+
+
+def parameters_from_allele_partition_dyn(labels: Array, codes: Array,
+                                         md: ModelData, kdyn, Kp: int,
+                                         eta_constrained: bool) -> Params:
+    """parameters_from_allele_partition on the Kp-padded lane space:
+    smoothing (+1) and normalization touch only lanes < kdyn, so true
+    lanes match the static-K output exactly and pad lanes are zero."""
+    dtype = md.dtype
+    valid = codes >= 0
+    lane = _lane_lt(kdyn, Kp)
+    onehot_k = jax.nn.one_hot(jnp.where(valid, labels, Kp), Kp,
+                              dtype=dtype)            # [I, L, P, Kp]
+    copies_ik = onehot_k.sum(axis=(1, 2))             # [I, Kp]
+    kf = kdyn.astype(dtype) if hasattr(kdyn, "astype") \
+        else jnp.asarray(kdyn, dtype)
+    if eta_constrained:
+        eta = (1.0 + copies_ik.sum(axis=0)) / (
+            md.I * md.L * codes.shape[2] + kf)
+        eta = jnp.where(lane, eta, 0.0)
+    else:
+        eta = (1.0 + copies_ik) / (md.L * codes.shape[2] + kf)
+        eta = jnp.where(lane[None], eta, 0.0)
+
+    onehot_m = jax.nn.one_hot(jnp.where(valid, codes, md.M), md.M,
+                              dtype=dtype)            # [I, L, P, M]
+    pc = jnp.einsum("ilpk,ilpm->klm", onehot_k, onehot_m)
+    pc = jnp.where(md.mask[None] & lane[:, None, None], pc + 1.0, 0.0)
+    tot = pc.sum(axis=2, keepdims=True)
+    p = jnp.where(tot > 0, pc / jnp.where(tot > 0, tot, 1.0), 0.0)
+    return Params(eta=eta, p=p)
+
+
+def random_individual_center_dyn(key, md: ModelData, kdyn,
+                                 Kp: int) -> Array:
+    """random_individual_center (rnd_init.c:192-259) with a traced K:
+    draws Kp candidate centers (the first kdyn equal a static-K draw by
+    the choice prefix property) and masks lanes >= kdyn out of the
+    argmin."""
+    centers = jax.random.choice(key, md.I, (Kp,), replace=False)
+    x = md.x.astype(md.dtype)
+    missf = md.miss.astype(md.dtype)
+    xc = x[centers]
+    missc = missf[centers]
+    denom = jnp.maximum(md.n_alleles.astype(md.dtype), 1.0)
+    has_miss = missf.max(axis=0) > 0
+
+    def dist_k(k):
+        d = jnp.abs(x - xc[k][None]).sum(axis=(1, 2))
+        corr = jnp.where(has_miss[None],
+                         jnp.abs(missf - missc[k][None]) / denom[None],
+                         0.0).sum(axis=1)
+        return d - corr
+
+    dists = jax.lax.map(dist_k, jnp.arange(Kp)).T     # [I, Kp]
+    dists = jnp.where(_lane_lt(kdyn, Kp)[None], dists, jnp.inf)
+    assign = jnp.argmin(dists, axis=1).astype(jnp.int32)
+    # the first kdyn centers belong to their own cluster; later centers
+    # keep whatever the argmin gave them
+    cur = assign[centers]
+    upd = jnp.where(_lane_lt(kdyn, Kp),
+                    jnp.arange(Kp, dtype=jnp.int32), cur)
+    return assign.at[centers].set(upd)
+
+
+def parameters_from_partition_mixture_dyn(I_K: Array, md: ModelData,
+                                          kdyn, Kp: int) -> Params:
+    dtype = md.dtype
+    lane = _lane_lt(kdyn, Kp)
+    onehot = jax.nn.one_hot(I_K, Kp, dtype=dtype)
+    kf = jnp.asarray(kdyn, dtype)
+    eta = jnp.where(lane, (1.0 + onehot.sum(axis=0)) / (md.I + kf), 0.0)
+    pc = jnp.einsum("ik,ilm->klm", onehot, md.x.astype(dtype))
+    pc = jnp.where(md.mask[None] & lane[:, None, None], pc + 1.0, 0.0)
+    tot = pc.sum(axis=2, keepdims=True)
+    p = jnp.where(tot > 0, pc / jnp.where(tot > 0, tot, 1.0), 0.0)
+    return Params(eta=eta, p=p)
+
+
+def random_initialize_dyn(key, md: ModelData, kdyn, Kp: int,
+                          cfg: EMConfig, method: InitMethod,
+                          codes: Array = None) -> Params:
+    from multiclust_tpu.model.common import make_kmask
+    if cfg.admixture:
+        if method == InitMethod.RANDOM_PARTITION:
+            labels = random_allele_partition(key, md, codes, kdyn)
+        else:
+            labels = random_allele_center_dyn(key, md, codes, kdyn, Kp)
+        params = parameters_from_allele_partition_dyn(
+            labels, codes, md, kdyn, Kp, cfg.eta_constrained)
+    elif method == InitMethod.RANDOM_PARTITION:
+        part = random_individual_partition(key, md, kdyn)
+        params = parameters_from_partition_mixture_dyn(part, md, kdyn, Kp)
+    else:
+        part = random_individual_center_dyn(key, md, kdyn, Kp)
+        params = parameters_from_partition_mixture_dyn(part, md, kdyn, Kp)
+    km = (_lane_lt(kdyn, Kp)).astype(md.dtype)
+    return params._replace(kmask=km)
+
+
+def initialize_dyn(key, md: ModelData, kdyn, Kp: int, cfg: EMConfig,
+                   method: InitMethod = InitMethod.RANDOM_CENTERS,
+                   procedure: InitProcedure = InitProcedure.NOTHING,
+                   n_rand_em_init: int = 50, codes: Array = None,
+                   md_score: ModelData = None) -> Params:
+    """Dynamic-K initialize(): returns Kp-PADDED params carrying their
+    kmask.  ``cfg`` must be the swept lattice's shared config (static
+    lane width Kp); candidate scoring masks projections through the
+    kmask, so its fixed points match the static-K scoring on the true
+    lanes."""
+    if procedure != InitProcedure.RAND_EM:
+        return random_initialize_dyn(key, md, kdyn, Kp, cfg, method,
+                                     codes)
+    from multiclust_tpu.opt.em import model_em_step, model_log_likelihood
+
+    if md_score is None:
+        md_score = md
+    n = n_rand_em_init
+    c = rand_em_chunk(md_score, n)
+
+    def score_shape(params: Params) -> Params:
+        dI = md_score.I - md.I
+        if dI > 0 and params.eta.ndim == 2:
+            pad = jnp.broadcast_to(
+                (params.kmask / jnp.sum(params.kmask))[None],
+                (dI, Kp)).astype(params.eta.dtype)
+            params = params._replace(
+                eta=jnp.concatenate([params.eta, pad], axis=0))
+        dL = md_score.L - md.L
+        if dL > 0:
+            params = params._replace(
+                p=jnp.pad(params.p, ((0, 0), (0, dL), (0, 0))))
+        return params
+
+    def one(k):
+        params = random_initialize_dyn(k, md, kdyn, Kp, cfg, method,
+                                       codes)
+        stepped, _, _ = model_em_step(score_shape(params), md_score, cfg)
+        ll, _ = model_log_likelihood(stepped, md_score, cfg)
+        return params, ll[0] + ll[1]
+
+    n_pad = -(-n // c) * c
+    keys = jax.random.split(key, n_pad).reshape(n_pad // c, c, -1)
+    params_all, lls = jax.lax.map(jax.vmap(one), keys)
+    params_all = tree_map(lambda t: t.reshape((n_pad,) + t.shape[2:]),
+                          params_all)
+    lls = lls.reshape(n_pad)
+    if n_pad != n:
+        lls = jnp.where(jnp.arange(n_pad) < n, lls, -jnp.inf)
+    best = jnp.argmax(lls)
+    return tree_map(lambda t: t[best], params_all)
+
+
 def codes_from_counts(counts, miss, ploidy: int):
     """[I, L, P] allele-slot index per copy (-1 for missing copies).
 

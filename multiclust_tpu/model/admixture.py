@@ -55,8 +55,13 @@ def _k_valid(cfg: EMConfig, Kp: int):
     return jnp.asarray(np.arange(Kp) < kt)
 
 
-def _project_eta_rows(eta: Array, cfg: EMConfig) -> Array:
+def _project_eta_rows(eta: Array, cfg: EMConfig, kmask=None) -> Array:
+    """``kmask`` (Params.kmask, [Kp] 1.0/0.0) overrides the static
+    cfg.k_true lane mask: mixed-K swept lattices carry the true-lane set
+    as data so one compiled step serves every K (runtime/ksweep.py)."""
     Kp = eta.shape[-1]
+    if kmask is not None:
+        return project_rows(eta, kmask > 0.5, 0, cfg.eta_lower_bound)
     kv = _k_valid(cfg, Kp)
     if kv is None:
         return project_rows(eta, jnp.ones((Kp,), bool), Kp,
@@ -64,17 +69,22 @@ def _project_eta_rows(eta: Array, cfg: EMConfig) -> Array:
     return project_rows(eta, kv, cfg.k_true, cfg.eta_lower_bound)
 
 
-def _normalize_p(pc: Array, md: ModelData, cfg: EMConfig) -> Array:
+def _normalize_p(pc: Array, md: ModelData, cfg: EMConfig, kmask=None
+                 ) -> Array:
     tot = jnp.sum(pc, axis=2, keepdims=True)
     p = jnp.where(md.mask[None] & (tot > 0), pc / jnp.where(tot > 0, tot, 1.0),
                   0.0)
     if cfg.do_projection:
         p = project_rows(p, md.mask[None], md.n_alleles[None, :],
                          cfg.p_lower_bound)
-        kv = _k_valid(cfg, p.shape[0])
-        if kv is not None:
-            # keep K-padding rows exactly zero (projection would lift them)
-            p = jnp.where(kv[:, None, None], p, 0.0)
+        if kmask is not None:
+            p = jnp.where((kmask > 0.5)[:, None, None], p, 0.0)
+        else:
+            kv = _k_valid(cfg, p.shape[0])
+            if kv is not None:
+                # keep K-padding rows exactly zero (projection would lift
+                # them)
+                p = jnp.where(kv[:, None, None], p, 0.0)
     return p
 
 
@@ -209,11 +219,14 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
     lb = float(cfg.eta_lower_bound)
     plb, pub = _p0_clip_bounds(cfg.p_lower_bound)
 
+    kmask = params.kmask
+
     def local(eta_l, p0_l, x0_l, x1_l, c_l, *m):
         aout, per_i, b0, b1 = fn(
             eta_l, p0_l, x0_l, x1_l, c_l, m[0] if m else None,
             ti=ti, tl=tl, k_true=cfg.k_true, lb=lb, plb=plb,
-            project=cfg.do_projection, compute_t=want_ll, emit_b=True,
+            project=cfg.do_projection and kmask is None,
+            compute_t=want_ll, emit_b=True,
             emit_a=emit_a, interpret=interpret)
         if emit_a:
             # per-individual reductions span all loci: merge A (raw, c
@@ -226,7 +239,7 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
             tot = jnp.sum(num, axis=1, keepdims=True)
             etan = jnp.where(tot > 0,
                              num / jnp.where(tot > 0, tot, 1.0), eta_l)
-            if cfg.do_projection:
+            if cfg.do_projection and kmask is None:
                 etan = _project_eta_rows(etan, cfg)
         else:
             etan = aout
@@ -253,12 +266,16 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
         in_specs=tuple(in_specs),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, MODEL_AXIS)),
         check_vma=False)(*args)
+    if cfg.do_projection and kmask is not None:
+        # dynamic-K: the masked Michelot runs on the (row-sharded) global
+        # eta - purely rowwise, so GSPMD keeps it collective-free
+        eta_new = _project_eta_rows(eta_new, cfg, kmask)
     if not want_ll:
         z = jnp.zeros((), eta.dtype)
-        return Params(eta=eta_new, p=p0n), (z, z), z
+        return params._replace(eta=eta_new, p=p0n), (z, z), z
     ll = df64.df_sum(per_i)
     scale = jnp.sqrt(jnp.sum(per_i * per_i))
-    return Params(eta=eta_new, p=p0n), ll, scale
+    return params._replace(eta=eta_new, p=p0n), ll, scale
 
 
 def _em_step_bi_repr(params, md, cfg, want_ll=True):
@@ -287,14 +304,16 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
     eta_new, per_i, p0n = fn(
         eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
-        project=cfg.do_projection, compute_t=want_ll,
-        interpret=cfg.use_pallas == "interpret")
+        project=cfg.do_projection and params.kmask is None,
+        compute_t=want_ll, interpret=cfg.use_pallas == "interpret")
+    if cfg.do_projection and params.kmask is not None:
+        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
     if not want_ll:
         z = jnp.zeros((), eta.dtype)
-        return Params(eta=eta_new, p=p0n), (z, z), z
+        return params._replace(eta=eta_new, p=p0n), (z, z), z
     ll = df64.df_sum(per_i)
     scale = jnp.sqrt(jnp.sum(per_i * per_i))
-    return Params(eta=eta_new, p=p0n), ll, scale
+    return params._replace(eta=eta_new, p=p0n), ll, scale
 
 
 def log_likelihood_bi_repr(params: Params, md: ModelData):
@@ -425,7 +444,7 @@ def _em_step_unconstrained(params, md, cfg, want_ll=True):
     eta_new = jnp.where(tot_eta > 0,
                         eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0), eta)
     if cfg.do_projection:
-        eta_new = _project_eta_rows(eta_new, cfg)
+        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
 
     # p update: sum_i d_iklm = p_klm (B_klm + C_kl)
     B = (eta.T @ w).reshape(K, md.L, md.M)            # [K, LM] (MXU)
@@ -433,9 +452,9 @@ def _em_step_unconstrained(params, md, cfg, want_ll=True):
         C = eta.T @ md.miss.astype(eta.dtype)         # [K, L]  (MXU)
         B = B + C[:, :, None]
     pc = p * B
-    p_new = _normalize_p(pc, md, cfg)
+    p_new = _normalize_p(pc, md, cfg, params.kmask)
 
-    return Params(eta=eta_new, p=p_new), ll, scale
+    return params._replace(eta=eta_new, p=p_new), ll, scale
 
 
 def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
@@ -488,10 +507,16 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
         c = (jnp.sum(md.miss.astype(params.eta.dtype), axis=1,
                  keepdims=True) if cfg.has_missing
              else jnp.zeros((md.I, 1), eta.dtype))
+        # dynamic-K lattices (params.kmask) cannot use the in-kernel
+        # Michelot (static k_true): the kernel emits the normalized,
+        # unprojected eta and the masked projection runs in XLA below
         eta_new, per_i, B = admixture_fullstep(
             eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
-            lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
+            lb=float(cfg.eta_lower_bound),
+            project=cfg.do_projection and params.kmask is None,
             compute_t=want_ll, interpret=interpret)
+        if cfg.do_projection and params.kmask is not None:
+            eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
         B = B[:, :LM]
     else:
         eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, x2)
@@ -513,7 +538,7 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
                             eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0),
                             eta)
         if cfg.do_projection:
-            eta_new = _project_eta_rows(eta_new, cfg)
+            eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
 
     ll = df64.df_sum(per_i)
     scale = jnp.sqrt(jnp.sum(per_i * per_i))
@@ -523,8 +548,8 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
         C = eta.T @ md.miss.astype(eta.dtype)
         B = B + C[:, :, None]
     pc = p * B
-    p_new = _normalize_p(pc, md, cfg)
-    return Params(eta=eta_new, p=p_new), ll, scale
+    p_new = _normalize_p(pc, md, cfg, params.kmask)
+    return params._replace(eta=eta_new, p=p_new), ll, scale
 
 
 def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
@@ -558,15 +583,19 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
     eta_new, per_i, p0n = fn(
         eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
-        project=cfg.do_projection, compute_t=want_ll, interpret=interpret)
+        project=cfg.do_projection and params.kmask is None,
+        compute_t=want_ll, interpret=interpret)
+    if cfg.do_projection and params.kmask is not None:
+        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
     p0n = p0n[:, :md.L]
-    kv = _k_valid(cfg, K)
+    kv = (params.kmask > 0.5 if params.kmask is not None
+          else _k_valid(cfg, K))
     p1n = 1.0 - p0n if kv is None else jnp.where(kv[:, None], 1.0 - p0n,
                                                  0.0)
     p_new = jnp.stack([p0n, p1n], axis=-1)
     ll = df64.df_sum(per_i)
     scale = jnp.sqrt(jnp.sum(per_i * per_i))
-    return Params(eta=eta_new, p=p_new), ll, scale
+    return params._replace(eta=eta_new, p=p_new), ll, scale
 
 
 def _em_step_unconstrained_pallas_meshed(params, md, cfg, p2, x2, padded,
@@ -624,14 +653,14 @@ def _bucket_sweep(eta, p_b, md_b, cfg, want_ll):
     return w @ p2.T, t, eta.T @ w
 
 
-def _finish_bucket_p(p_b, B2, md_b, eta, cfg):
+def _finish_bucket_p(p_b, B2, md_b, eta, cfg, kmask=None):
     """Per-bucket p epilogue: missing mass + normalization + projection
     (locus-local, em_alg.c:592-754)."""
     B = B2.reshape(p_b.shape[-3], md_b.L, md_b.M)
     if cfg.has_missing:
         C = eta.T @ md_b.miss.astype(eta.dtype)
         B = B + C[:, :, None]
-    return _normalize_p(p_b * B, md_b, cfg)
+    return _normalize_p(p_b * B, md_b, cfg, kmask)
 
 
 def _bucketed_p_epilogue(Bs, params, bd, cfg, eta):
@@ -658,7 +687,7 @@ def _bucketed_p_epilogue(Bs, params, bd, cfg, eta):
         axis=0)                                        # loop-invariant
     n_all = jnp.concatenate([b.n_alleles for b in bd.buckets])
     md_like = bd.buckets[0]._replace(mask=mask_all, n_alleles=n_all)
-    p_dense = _normalize_p(pc_all, md_like, cfg)
+    p_dense = _normalize_p(pc_all, md_like, cfg, params.kmask)
     new_ps = []
     lo = 0
     for b in bd.buckets:
@@ -715,8 +744,11 @@ def _bucketed_fullstep_fused(params, bd, cfg, want_ll):
          else jnp.zeros((bd.I, 1), eta.dtype))
     eta_new, per_i, B = admixture_fullstep(
         eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
-        lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
+        lb=float(cfg.eta_lower_bound),
+        project=cfg.do_projection and params.kmask is None,
         compute_t=want_ll, interpret=cfg.use_pallas == "interpret")
+    if cfg.do_projection and params.kmask is not None:
+        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
     Bs = []
     lo = 0
     for n in lane_sizes:
@@ -729,7 +761,7 @@ def _bucketed_fullstep_fused(params, bd, cfg, want_ll):
     else:
         z = jnp.zeros((), eta.dtype)
         ll, scale = (z, z), z
-    return Params(eta=eta_new, p=new_ps), ll, scale
+    return params._replace(eta=eta_new, p=new_ps), ll, scale
 
 
 def _bucketed_fullstep_chain(params, bd, cfg, want_ll):
@@ -770,12 +802,15 @@ def _bucketed_fullstep_chain(params, bd, cfg, want_ll):
         aout, t_b, B = admixture_fullstep(
             eta, p2, x2, c if last else zero_c, a0,
             ti=ti, tl=tl, k_true=cfg.k_true,
-            lb=float(cfg.eta_lower_bound), project=cfg.do_projection,
+            lb=float(cfg.eta_lower_bound),
+            project=cfg.do_projection and params.kmask is None,
             compute_t=want_ll, emit_a=not last, interpret=interpret)
         per_i = t_b if per_i is None else per_i + t_b
         Bs.append(B[:, :LM])
         a0 = aout  # raw A for the next launch; eta_new on the last
 
+    if cfg.do_projection and params.kmask is not None:
+        a0 = _project_eta_rows(a0, cfg, params.kmask)
     new_ps = _bucketed_p_epilogue(Bs, params, bd, cfg, eta)
     if want_ll:
         ll = df64.df_sum(per_i)
@@ -783,7 +818,7 @@ def _bucketed_fullstep_chain(params, bd, cfg, want_ll):
     else:
         z = jnp.zeros((), eta.dtype)
         ll, scale = (z, z), z
-    return Params(eta=a0, p=new_ps), ll, scale
+    return params._replace(eta=a0, p=new_ps), ll, scale
 
 
 def _em_step_bucketed(params, bd, cfg, want_ll=True):
@@ -814,7 +849,8 @@ def _em_step_bucketed(params, bd, cfg, want_ll=True):
         A_b, t_b, B2 = _bucket_sweep(eta, p_b, md_b, cfg, want_ll)
         A = A_b if A is None else A + A_b
         per_i = t_b if per_i is None else per_i + t_b
-        new_ps.append(_finish_bucket_p(p_b, B2, md_b, eta, cfg))
+        new_ps.append(_finish_bucket_p(p_b, B2, md_b, eta, cfg,
+                                       params.kmask))
 
     if cfg.has_missing:
         c = sum(jnp.sum(md_b.miss.astype(A.dtype), axis=1, keepdims=True)
@@ -826,7 +862,7 @@ def _em_step_bucketed(params, bd, cfg, want_ll=True):
                         eta_num / jnp.where(tot_eta > 0, tot_eta, 1.0),
                         eta)
     if cfg.do_projection:
-        eta_new = _project_eta_rows(eta_new, cfg)
+        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
 
     if want_ll:
         ll = df64.df_sum(per_i)
@@ -834,7 +870,7 @@ def _em_step_bucketed(params, bd, cfg, want_ll=True):
     else:
         z = jnp.zeros((), eta.dtype)
         ll, scale = (z, z), z
-    return Params(eta=eta_new, p=tuple(new_ps)), ll, scale
+    return params._replace(eta=eta_new, p=tuple(new_ps)), ll, scale
 
 
 def log_likelihood_bucketed(params, bd):
@@ -872,12 +908,12 @@ def _em_step_constrained(params, md, cfg):
     eta_num = eta * a
     eta_new = eta_num / jnp.sum(eta_num)
     if cfg.do_projection:
-        eta_new = _project_eta_rows(eta_new, cfg)
+        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
 
     pc = p * S.reshape(1, md.L, md.M)
-    p_new = _normalize_p(pc, md, cfg)
+    p_new = _normalize_p(pc, md, cfg, params.kmask)
 
-    return Params(eta=eta_new, p=p_new), ll, scale
+    return params._replace(eta=eta_new, p=p_new), ll, scale
 
 
 def log_likelihood(params: Params, md: ModelData):

@@ -23,6 +23,16 @@ class Params(NamedTuple):
 
     eta: Array  # [K] or [I, K]
     p: Array    # [K, L, M]
+    # Optional [.., Kp] 1.0/0.0 mask of TRUE cluster lanes for mixed-K
+    # swept lattices (runtime/ksweep.py): carried as DATA so ONE compiled
+    # program serves every K in a K-sweep (estimate_model,
+    # multiclust.c:365-452, recompiled per K in the reference-shaped
+    # serial loop).  None = the static cfg.k_true governs, which is the
+    # single-K production path.  Float, not bool, so the pytree
+    # vector-space ops (opt/em.tree_sub & co) treat it as inert numerics:
+    # secant differences are exactly zero and affine accelerated points
+    # reproduce the base mask.
+    kmask: Optional[Array] = None
 
     @property
     def K(self) -> int:
@@ -275,24 +285,31 @@ def pad_params_k(params: Params, k_pad: int) -> Params:
     eta [..., I, K] -> [..., I, k_pad]; p [..., K, L, M] -> [..., k_pad, L, M].
 
     Pad entries are zero and contribute nothing to denominators, updates or
-    likelihoods; the masked projections (cfg.k_true) keep them zero."""
+    likelihoods; the masked projections (cfg.k_true or params.kmask) keep
+    them zero."""
     K = params.p.shape[-3]
     if k_pad <= K:
         return params
     d = k_pad - K
     pw_eta = [(0, 0)] * (params.eta.ndim - 1) + [(0, d)]
     pw_p = [(0, 0)] * (params.p.ndim - 3) + [(0, d), (0, 0), (0, 0)]
-    return Params(eta=jnp.pad(params.eta, pw_eta),
-                  p=jnp.pad(params.p, pw_p))
+    return params._replace(eta=jnp.pad(params.eta, pw_eta),
+                           p=jnp.pad(params.p, pw_p))
 
 
 def unpad_params_k(params: Params, k_true: int) -> Params:
-    """Inverse of pad_params_k (batched OK)."""
+    """Inverse of pad_params_k (batched OK); drops any kmask."""
     K = params.p.shape[-3]
     if k_true >= K:
         return params
     return Params(eta=params.eta[..., :k_true],
                   p=params.p[..., :k_true, :, :])
+
+
+def make_kmask(K: int, Kp: int, dtype=jnp.float32) -> Array:
+    """[Kp] 1.0/0.0 true-lane mask for the mixed-K dynamic layout
+    (Params.kmask)."""
+    return (jnp.arange(Kp) < K).astype(dtype)
 
 
 def safe_log(x: Array, valid: Optional[Array] = None) -> Array:

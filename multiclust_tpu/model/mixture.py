@@ -29,12 +29,21 @@ from multiclust_tpu.ops import df64
 from multiclust_tpu.ops.simplex import project_rows
 
 
+def _mask_scores(s: Array, params: Params) -> Array:
+    """Dynamic-K lattices (Params.kmask): padded cluster lanes carry
+    zero eta and safe_log maps that to 0, not -inf, so their scores must
+    be forced to -inf for the softmax/logsumexp to ignore them."""
+    if params.kmask is None:
+        return s
+    return jnp.where(params.kmask > 0.5, s, -jnp.inf)
+
+
 def scores(params: Params, md: ModelData) -> Array:
     """[I, K] per-individual per-cluster log scores."""
     logp = safe_log(params.p, md.mask[None])          # [K, L, M]
     logp2 = logp.reshape(params.K, -1)
     s = md.x2d @ logp2.T                              # MXU
-    return s + safe_log(params.eta)[None, :]
+    return _mask_scores(s + safe_log(params.eta)[None, :], params)
 
 
 def _scores_bi(params: Params, md: ModelData, ploidy: int) -> Array:
@@ -51,7 +60,7 @@ def _scores_bi(params: Params, md: ModelData, ploidy: int) -> Array:
     x0 = (md.x_bi[0] if md.x_bi is not None
           else md.x[:, :, 0]).astype(md.dtype)
     s = x0 @ d                                        # MXU
-    return s + (base + safe_log(params.eta))[None, :]
+    return _mask_scores(s + (base + safe_log(params.eta))[None, :], params)
 
 
 def _posterior_and_ll(s: Array, row_valid=None):
@@ -94,39 +103,43 @@ def _finish_p(pc: Array, md: ModelData, cfg: EMConfig, dtype) -> Array:
     return p
 
 
-def _finish_eta(v: Array, cfg: EMConfig) -> Array:
+def _finish_eta(v: Array, cfg: EMConfig, kmask=None) -> Array:
     eta = jnp.sum(v, axis=0)
     eta = eta / jnp.sum(eta)
     if cfg.do_projection:
-        eta = project_rows(eta, jnp.ones_like(eta, dtype=bool),
-                           eta.shape[0], cfg.eta_lower_bound)
+        mask = (kmask > 0.5 if kmask is not None
+                else jnp.ones_like(eta, dtype=bool))
+        eta = project_rows(eta, mask, eta.shape[0], cfg.eta_lower_bound)
     return eta
 
 
-def m_step(v: Array, md: ModelData, cfg: EMConfig) -> Params:
-    """Parameter update given posteriors (m_step_mixture)."""
+def m_step(v: Array, md: ModelData, cfg: EMConfig, kmask=None) -> Params:
+    """Parameter update given posteriors (m_step_mixture).  Padded
+    cluster rows of p (dynamic-K, v columns exactly zero) become the
+    lb-smoothed uniform row - inert, since their scores are masked to
+    -inf (_mask_scores)."""
     dtype = v.dtype
-    eta = _finish_eta(v, cfg)
+    eta = _finish_eta(v, cfg, kmask)
     K = v.shape[1]
     pc = (v.T @ md.x2d).reshape(K, md.L, md.M)        # [K, LM], MXU
-    return Params(eta=eta, p=_finish_p(pc, md, cfg, dtype))
+    return Params(eta=eta, p=_finish_p(pc, md, cfg, dtype), kmask=kmask)
 
 
-def _m_step_bi(v: Array, md: ModelData, cfg: EMConfig) -> Params:
+def _m_step_bi(v: Array, md: ModelData, cfg: EMConfig, kmask=None) -> Params:
     """Biallelic missing-free M-step in ONE matmul: with
     x1 = ploidy - x0, the complement expected counts are
     pc1_kl = ploidy * (sum_i v_ik) - pc0_kl - no second contraction and
     no x1 stream.  Zero rows (mesh padding, masked by row_valid in the
     E-step) contribute to neither side."""
     dtype = v.dtype
-    eta = _finish_eta(v, cfg)
+    eta = _finish_eta(v, cfg, kmask)
     x0 = (md.x_bi[0] if md.x_bi is not None
           else md.x[:, :, 0]).astype(md.dtype)
     pc0 = v.T @ x0                                    # [K, L], MXU
     vtot = jnp.sum(v, axis=0)                         # [K]
     pc1 = cfg.ploidy * vtot[:, None] - pc0
     pc = jnp.stack([pc0, pc1], axis=-1)               # [K, L, 2]
-    return Params(eta=eta, p=_finish_p(pc, md, cfg, dtype))
+    return Params(eta=eta, p=_finish_p(pc, md, cfg, dtype), kmask=kmask)
 
 
 def _bi_fast(md: ModelData, cfg: EMConfig) -> bool:
@@ -155,6 +168,8 @@ def _kernel_ok(md: ModelData, cfg: EMConfig, params: Params) -> bool:
     import os
     if cfg.use_pallas == "on" and os.environ.get(
             "MULTICLUST_MIXTURE_KERNEL", "0") != "1":
+        return False
+    if params.kmask is not None:  # dynamic-K: XLA formulation only
         return False
     return (cfg.use_pallas != "off" and cfg.biallelic and md.M == 2
             and params.p.dtype == jnp.float32
@@ -272,7 +287,7 @@ def em_step(params: Params, md: ModelData,
     if _bi_fast(md, cfg):
         v, ll, scale = _posterior_and_ll(
             _scores_bi(params, md, cfg.ploidy), md.row_valid)
-        return _m_step_bi(v, md, cfg), ll, scale, v
+        return _m_step_bi(v, md, cfg, params.kmask), ll, scale, v
     v, ll, scale = e_step(params, md)
-    new = m_step(v, md, cfg)
+    new = m_step(v, md, cfg, params.kmask)
     return new, ll, scale, v

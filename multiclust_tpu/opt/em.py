@@ -390,7 +390,8 @@ def _project_params(params: Params, md: ModelData, cfg: EMConfig) -> Params:
     from multiclust_tpu.ops.simplex import project_rows
     if not cfg.do_projection:
         return params
-    eta = _project_eta_rows(params.eta, cfg)
+    eta = _project_eta_rows(params.eta, cfg, params.kmask)
+    kdyn = (params.kmask > 0.5 if params.kmask is not None else None)
     if isinstance(params.p, tuple):
         # jagged-M bucketed representation: project each bucket with its
         # own mask/allele counts (model/bucketed.py)
@@ -398,11 +399,11 @@ def _project_params(params: Params, md: ModelData, cfg: EMConfig) -> Params:
         for md_b, pb in zip(md.buckets, params.p):
             pb = project_rows(pb, md_b.mask[None], md_b.n_alleles[None, :],
                               cfg.p_lower_bound)
-            kv = _k_valid(cfg, pb.shape[0])
+            kv = kdyn if kdyn is not None else _k_valid(cfg, pb.shape[0])
             if kv is not None:
                 pb = jnp.where(kv[:, None, None], pb, 0.0)
             ps.append(pb)
-        return Params(eta=eta, p=tuple(ps))
+        return params._replace(eta=eta, p=tuple(ps))
     if cfg.bi_repr_active and is_bi_repr(params):
         # p0-representation: project the implicit (p0, 1-p0) pair - the
         # closed 2-simplex form is clip (ops/simplex.py M=2 branch).
@@ -418,13 +419,13 @@ def _project_params(params: Params, md: ModelData, cfg: EMConfig) -> Params:
                    - fi.dtype.type(max(cfg.p_lower_bound, float(fi.eps))))
         lb = jnp.asarray(cfg.p_lower_bound, params.p.dtype)
         p = jnp.clip(params.p, lb, ub)
-        return Params(eta=eta, p=p)
+        return params._replace(eta=eta, p=p)
     p = project_rows(params.p, md.mask[None], md.n_alleles[None, :],
                      cfg.p_lower_bound)
-    kv = _k_valid(cfg, p.shape[0])
+    kv = kdyn if kdyn is not None else _k_valid(cfg, p.shape[0])
     if kv is not None:
         p = jnp.where(kv[:, None, None], p, 0.0)
-    return Params(eta=eta, p=p)
+    return params._replace(eta=eta, p=p)
 
 
 def qn_point(x0: Params, ring: AccelRing, cfg: EMConfig) -> Params:

@@ -58,17 +58,50 @@ def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
     h0_params = None
     max_logL_H0 = -float("inf")
 
+    # mixed-K swept lattice (VERDICT r4 item 1): every eligible K >= 2
+    # fits in ONE chain lattice sharing ONE compiled program - chains
+    # carry their true-lane set as data (Params.kmask) instead of the
+    # static cfg.k_true that forces a recompile per K.  Per-K PRNG
+    # streams/bookkeeping replicate the serial loop exactly
+    # (multistart.swept_maximize); K=1 and non-default regimes keep the
+    # serial path below.
+    swept: Dict[int, MaximizeResult] = {}
+    from multiclust_tpu.runtime.multistart import swept_eligible, \
+        swept_maximize
+    if (warm is None and checkpoint_dir is None
+            and swept_eligible(opt, md, ks)):
+        keys_by_K = []
+        subs = {}
+        for K in ks:
+            key, sub = jax.random.split(key)
+            subs[K] = sub
+            if K >= 2:
+                keys_by_K.append((K, sub))
+        swept = swept_maximize(
+            keys_by_K, md, opt, n_parameters_fn, codes=codes,
+            true_partition=true_partition,
+            on_improve=on_improve if not bootstrap else None,
+            quiet=bootstrap)
+        for K in ks:
+            if K not in swept:  # K = 1: closed-form single-init path
+                swept[K] = maximize_likelihood(
+                    subs[K], md, K, opt, n_parameters_fn(K), codes=codes,
+                    true_partition=true_partition, quiet=bootstrap)
+
     for K in ks:
-        key, sub = jax.random.split(key)
-        res = maximize_likelihood(sub, md, K, opt, n_parameters_fn(K),
-                                  codes=codes, warm=warm,
-                                  true_partition=true_partition,
-                                  checkpoint_dir=checkpoint_dir,
-                                  on_improve=(
-                                      (lambda r, K=K: on_improve(K, r))
-                                      if on_improve and not bootstrap
-                                      else None),
-                                  quiet=bootstrap)
+        if K in swept:
+            res = swept[K]
+        else:
+            key, sub = jax.random.split(key)
+            res = maximize_likelihood(sub, md, K, opt, n_parameters_fn(K),
+                                      codes=codes, warm=warm,
+                                      true_partition=true_partition,
+                                      checkpoint_dir=checkpoint_dir,
+                                      on_improve=(
+                                          (lambda r, K=K: on_improve(K, r))
+                                          if on_improve and not bootstrap
+                                          else None),
+                                      quiet=bootstrap)
         per_K[K] = res
         if opt.n_bootstrap and K == ks[0]:
             max_logL_H0 = res.max_logL

@@ -134,6 +134,8 @@ def shard_model_data(md: ModelData, mesh: Mesh) -> ModelData:
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
     specs = param_specs(params.eta.ndim == 2)
+    if params.kmask is not None:
+        specs = specs._replace(kmask=P())
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs)
@@ -167,6 +169,8 @@ def shard_chain_params(params_b: Params, mesh: Mesh) -> Params:
                        p=P(None, None, MODEL_AXIS))
     else:
         specs = chain_param_specs()
+    if params_b.kmask is not None:  # dynamic-K lane mask: replicated
+        specs = specs._replace(kmask=P())
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(
             x, NamedSharding(mesh, _feasible_spec(x, s, mesh))),
@@ -199,12 +203,13 @@ def constrain_chain_state(state, mesh: Mesh):
             return c(x, P(*([None] * (x.ndim - 1) + [MODEL_AXIS])))
         return c(x, P(*([None] * (x.ndim - 3) + [None, MODEL_AXIS, None])))
 
-    params = Params(eta=eta_spec(state.params.eta), p=p_spec(state.params.p))
+    params = state.params._replace(eta=eta_spec(state.params.eta),
+                                   p=p_spec(state.params.p))
     ring = state.ring
     if ring is not None:
         ring = ring._replace(
-            u=Params(eta=eta_spec(ring.u.eta), p=p_spec(ring.u.p)),
-            v=Params(eta=eta_spec(ring.v.eta), p=p_spec(ring.v.p)))
+            u=ring.u._replace(eta=eta_spec(ring.u.eta), p=p_spec(ring.u.p)),
+            v=ring.v._replace(eta=eta_spec(ring.v.eta), p=p_spec(ring.v.p)))
     return state._replace(params=params, ring=ring)
 
 

@@ -118,7 +118,14 @@ def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
 def _unpad_k(params: Params, cfg: EMConfig,
              n_rows: Optional[int] = None,
              n_loci: Optional[int] = None,
-             bd=None, M_full: Optional[int] = None) -> Params:
+             bd=None, M_full: Optional[int] = None,
+             k_lane: Optional[int] = None) -> Params:
+    """``k_lane`` overrides cfg.k_true for mixed-K swept lattices, where
+    the harvested lane's true K is per-chain host knowledge (ksweep.py);
+    the dynamic kmask is dropped - harvested params are dense K-sized."""
+    if params.kmask is not None:
+        params = params._replace(kmask=None)
+    kt_cfg = k_lane or cfg.k_true
     if isinstance(params.p, tuple):
         # jagged-M bucketed representation: merge back to the dense
         # original-order layout before any slicing (model/bucketed.py)
@@ -126,15 +133,15 @@ def _unpad_k(params: Params, cfg: EMConfig,
         params = merge_params_like(params, bd, M_full)
     if cfg.bi_repr_active and params.p.ndim == params.eta.ndim:
         # reconstruct full p from the p0-representation (harvest time only)
-        kt = cfg.k_true or params.p.shape[-2]
+        kt = kt_cfg or params.p.shape[-2]
         p0 = params.p[..., :kt, :]
         if n_loci is not None:
             p0 = p0[..., :n_loci]
         params = params._replace(eta=params.eta[..., :kt],
                                  p=jnp.stack([p0, 1.0 - p0], axis=-1))
-    if cfg.k_true and params.p.shape[-3] != cfg.k_true:
+    if kt_cfg and params.p.shape[-3] != kt_cfg:
         from multiclust_tpu.model.common import unpad_params_k
-        params = unpad_params_k(params, cfg.k_true)
+        params = unpad_params_k(params, kt_cfg)
     if (n_rows is not None and params.eta.ndim >= 2
             and params.eta.shape[-2] != n_rows):
         params = params._replace(eta=params.eta[..., :n_rows, :])
@@ -236,10 +243,19 @@ def _pad_params_rows(params: Params, Ip: int, cfg: EMConfig) -> Params:
     d = Ip - params.eta.shape[-2]
     if d <= 0:
         return params
-    row = jnp.zeros((params.eta.shape[-1],), params.eta.dtype)
-    kt = cfg.k_true or params.eta.shape[-1]
-    row = row.at[:kt].set(1.0 / kt)
-    pad = jnp.broadcast_to(row, params.eta.shape[:-2] + (d, row.shape[0]))
+    if params.kmask is not None:
+        # dynamic-K: uniform over the chain's true lanes (any value is an
+        # EM fixed point on zero-count rows; uniform is projection-stable)
+        row = params.kmask / jnp.sum(params.kmask, axis=-1, keepdims=True)
+        pad = jnp.broadcast_to(
+            row[..., None, :],
+            params.eta.shape[:-2] + (d, params.eta.shape[-1]))
+    else:
+        row = jnp.zeros((params.eta.shape[-1],), params.eta.dtype)
+        kt = cfg.k_true or params.eta.shape[-1]
+        row = row.at[:kt].set(1.0 / kt)
+        pad = jnp.broadcast_to(row,
+                               params.eta.shape[:-2] + (d, row.shape[0]))
     return params._replace(
         eta=jnp.concatenate([params.eta, pad], axis=-2))
 
@@ -282,6 +298,56 @@ def _host_converged(opt: Options, a: float, b: float) -> bool:
     if opt.rel_error:
         keep |= abs_diff / abs(b) > opt.rel_error
     return not keep
+
+
+@functools.lru_cache(maxsize=64)
+def _init_batch_fn(cfg: EMConfig, K: int, method, procedure,
+                   n_rand_em_init: int):
+    """Jit-compiled batched initializer (round 5): the eager vmap'd
+    rand-EM races dispatch thousands of small ops - ~100 s per call
+    through the TPU tunnel vs ~1 s compiled.  md/codes/md_score are jit
+    ARGUMENTS, never closed-over constants (the remote-compile relay
+    rejects big embedded constants with HTTP 413 - CLAUDE.md)."""
+    def batch(keys, md, codes, md_score):
+        fn = functools.partial(
+            rinit.initialize, K=K, cfg=cfg, method=method,
+            procedure=procedure, n_rand_em_init=n_rand_em_init)
+        return jax.vmap(lambda k: fn(k, md=md, codes=codes,
+                                     md_score=md_score))(keys)
+    return jax.jit(batch)
+
+
+def _draw_init_batch(key, n: int, md, K: int, cfg: EMConfig, opt: Options,
+                     codes, md_score):
+    fn = _init_batch_fn(cfg, K, opt.initialization_method,
+                        opt.initialization_procedure, opt.n_rand_em_init)
+    return fn(jax.random.split(key, n), md, codes, md_score)
+
+
+@functools.lru_cache(maxsize=64)
+def _init_batch_fn_dyn(cfg: EMConfig, Kp: int, method, procedure,
+                       n_rand_em_init: int):
+    """Dynamic-K batched initializer: the true K is a TRACED argument, so
+    ONE compiled program draws inits for every K of a swept lattice (the
+    static variant recompiles per K; ~90 s each through the tunnel).
+    Returns Kp-padded params carrying their kmask."""
+    def batch(keys, kdyn, md, codes, md_score):
+        fn = functools.partial(
+            rinit.initialize_dyn, kdyn=kdyn, Kp=Kp, cfg=cfg,
+            method=method, procedure=procedure,
+            n_rand_em_init=n_rand_em_init)
+        return jax.vmap(lambda k: fn(k, md=md, codes=codes,
+                                     md_score=md_score))(keys)
+    return jax.jit(batch)
+
+
+def _draw_init_batch_dyn(key, n: int, md, K: int, Kp: int, cfg: EMConfig,
+                         opt: Options, codes, md_score):
+    fn = _init_batch_fn_dyn(cfg, Kp, opt.initialization_method,
+                            opt.initialization_procedure,
+                            opt.n_rand_em_init)
+    return fn(jax.random.split(key, n), jnp.asarray(K, jnp.int32), md,
+              codes, md_score)
 
 
 @functools.lru_cache(maxsize=64)
@@ -422,14 +488,8 @@ def _initialize_batch(key, md: ModelData, K: int, cfg: EMConfig,
         return pb, 1
 
     B = opt.batch_chains or min(max(opt.n_init, 1), 8)
-    keys = jax.random.split(key, B)
-    init_fn = functools.partial(
-        rinit.initialize, md=md, K=K, cfg=cfg,
-        method=opt.initialization_method,
-        procedure=opt.initialization_procedure,
-        n_rand_em_init=opt.n_rand_em_init, codes=codes,
-        md_score=md_score)
-    pb = _pad_k(jax.vmap(lambda k: init_fn(k))(keys), cfg)
+    pb = _pad_k(_draw_init_batch(key, B, md, K, cfg, opt, codes,
+                                 md_score), cfg)
     if md_fit is not None:
         pb = _mesh_place_chain_batch(pb, cfg, md_fit)
     return pb, B
@@ -533,14 +593,12 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
         B = min(B, opt.n_init)
 
     def make_inits(k, n):
-        keys = jax.random.split(k, n)
-        init_fn = functools.partial(
-            rinit.initialize, md=md, K=K, cfg=cfg,
-            method=opt.initialization_method,
-            procedure=opt.initialization_procedure,
-            n_rand_em_init=opt.n_rand_em_init, codes=codes,
-            md_score=md_score)
-        pb = _pad_k(jax.vmap(init_fn)(keys), cfg)
+        # always draw a full-width batch (ONE compiled init program per
+        # K; distinct widths would recompile) and slice the lanes needed
+        pb = _draw_init_batch(k, B, md, K, cfg, opt, codes, md_score)
+        if n != B:
+            pb = tree_map(lambda t: t[:n], pb)
+        pb = _pad_k(pb, cfg)
         return _mesh_place_chain_batch(pb, cfg, md_fit)
 
     key, sub = jax.random.split(key)
@@ -628,24 +686,10 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
         state = seg(state, md_fit)
 
 
-def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
-                        n_parameters: int,
-                        codes=None, warm: Optional[Params] = None,
-                        true_partition=None,
-                        checkpoint_dir: Optional[str] = None,
-                        on_improve=None, quiet: bool = False
-                        ) -> MaximizeResult:
-    """Maximize over initializations (maximize_likelihood,
-    multiclust.c:471-656).  ``checkpoint_dir`` persists/resumes the sweep
-    state after every batch of chains (runtime/checkpoint.py);
-    ``on_improve(res)`` fires whenever an init improves the best logL
-    (best-so-far output persistence, multiclust.c:584-600); ``quiet``
-    suppresses per-init progress (bootstrap replicate fits)."""
-    cfg = cfg_from_options(opt, K, md)
-    res = MaximizeResult(K=K)
-    t0 = time.time()
-    progress = _make_progress(opt, K, t0, quiet)
-
+def _prepare_fit_data(md: ModelData, cfg: EMConfig, opt: Options):
+    """(md_fit, md_score, bucketed) for a multi-start engine run -
+    K-independent, shared by maximize_likelihood and the mixed-K swept
+    lattice (ksweep.py; cfg carries the PADDED Kp there)."""
     # constrained-eta admixture fits depend on the data only through its
     # column sums: collapse once (the full md still serves init + scoring)
     if cfg.admixture and cfg.eta_constrained:
@@ -718,6 +762,28 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     # Bucketed fits score candidates on the dense md (candidates carry
     # dense p; one-off init cost at the dense rate).
     md_score = md if bucketed else md_fit
+    return md_fit, md_score, bucketed
+
+
+def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
+                        n_parameters: int,
+                        codes=None, warm: Optional[Params] = None,
+                        true_partition=None,
+                        checkpoint_dir: Optional[str] = None,
+                        on_improve=None, quiet: bool = False
+                        ) -> MaximizeResult:
+    """Maximize over initializations (maximize_likelihood,
+    multiclust.c:471-656).  ``checkpoint_dir`` persists/resumes the sweep
+    state after every batch of chains (runtime/checkpoint.py);
+    ``on_improve(res)`` fires whenever an init improves the best logL
+    (best-so-far output persistence, multiclust.c:584-600); ``quiet``
+    suppresses per-init progress (bootstrap replicate fits)."""
+    cfg = cfg_from_options(opt, K, md)
+    res = MaximizeResult(K=K)
+    t0 = time.time()
+    progress = _make_progress(opt, K, t0, quiet)
+
+    md_fit, md_score, bucketed = _prepare_fit_data(md, cfg, opt)
 
     if checkpoint_dir:
         from multiclust_tpu.runtime import checkpoint as ckpt
@@ -815,6 +881,184 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
     res.seconds = time.time() - t0
     _score_arand(res, md, opt, true_partition)
     return res
+
+
+def swept_eligible(opt: Options, md: ModelData, ks) -> bool:
+    """Host-side gate for the mixed-K swept lattice (ksweep.py): the
+    default fixed-n regime off-mesh, no warm start/checkpoint/serial
+    verbosity, all K sharing one 32-aligned padded lane count, and a
+    bounded chain-state HBM footprint.  Everything else runs the
+    reference-shaped serial per-K loop (estimate_model,
+    multiclust.c:365-452)."""
+    from multiclust_tpu.model.common import k_padded_size
+    ks = [K for K in ks if K >= 2]
+    if len(ks) < 2:
+        return False
+    if (opt.target_ll or opt.target_revisit or opt.n_seconds
+            or opt.verbosity > 3 or opt.n_init < 1):
+        return False
+    if opt.mesh_shape:
+        return False
+    if not opt.device_policy()[0]:
+        # CPU/f64: serial chains run UNPADDED K-sized arrays, so the
+        # swept lattice's Kp=32 padding costs real FLOPs (measured 1.4x
+        # slower at K=2..5).  On accelerators every K <= 32 pads to the
+        # same 32 lanes anyway, so the lattice is pure win (one compile,
+        # all K multi-starts filling the chip).
+        return False
+    if k_padded_size(min(ks), 32) != k_padded_size(max(ks), 32):
+        return False  # mixed lane layouts: serial per Kp block
+    # chain-state budget: all groups resident at once (vs <= 8 chains in
+    # the serial loop); ~ (3 + 2q) copies of (eta + p) per chain
+    Kp = k_padded_size(max(ks), 32)
+    B = min(opt.batch_chains or min(max(opt.n_init, 1), 8), opt.n_init)
+    per_chain = (md.I * Kp + Kp * md.L * md.M) * 4
+    copies = 3 + 2 * (opt.q if int(opt.accel_scheme) else 0)
+    return len(ks) * B * per_chain * copies < 4e9
+
+
+def swept_maximize(keys_by_K, md: ModelData, opt: Options,
+                   n_parameters_fn, codes=None, true_partition=None,
+                   on_improve=None, quiet: bool = False,
+                   segment: int = 16):
+    """Fit EVERY K of a K-sweep as ONE mixed-K chain lattice.
+
+    Replaces estimate_model's serial per-K loop (multiclust.c:365-452)
+    for the default regime: all K <= Kp share the 32-lane padded layout,
+    so chains differ only in their DATA-carried true-lane mask
+    (Params.kmask) and the whole sweep shares ONE compiled
+    prologue/segment/refill set (the serial loop recompiles per K
+    because cfg.k_true is a static jit argument).
+
+    Exact-parity contract with the serial path: each K's group keeps its
+    own PRNG stream (``keys_by_K`` in serial loop order), batch width,
+    refill schedule, and completion-order bookkeeping, so the set of
+    chains fitted - and hence per-K max_logL/AIC/BIC - matches the
+    serial engine chain for chain (up to K-lane-padding float
+    associativity).  Returns {K: MaximizeResult}.
+    """
+    from multiclust_tpu.model.common import k_padded_size
+
+    ks = [K for K, _ in keys_by_K]
+    Kp = k_padded_size(max(ks), 32)
+    cfg = cfg_from_options(opt, Kp, md)
+    t0 = time.time()
+    md_fit, md_score, bucketed = _prepare_fit_data(md, cfg, opt)
+    prologue, seg, mk_state, _, refill = _batch_fns(cfg, segment)
+
+    groups = []
+    off = 0
+    for K, keyK in keys_by_K:
+        B = min(opt.batch_chains or min(max(opt.n_init, 1), 8),
+                opt.n_init)
+        groups.append({
+            "K": K, "key": keyK, "B": B, "off": off,
+            "res": MaximizeResult(K=K),
+            "harvested": np.zeros(B, dtype=bool),
+            "launched": 0, "done": False,
+            "n_parameters": n_parameters_fn(K),
+            "progress": _make_progress(opt, K, t0, quiet),
+        })
+        off += B
+    B_total = off
+
+    def make_inits(g, k, n):
+        # full-width draw + slice, through the ONE dynamic-K compiled
+        # init program (draw-for-draw identical to the serial path's
+        # static-K init: traced randint bounds and the choice prefix
+        # property, init/random.py round-5 notes)
+        pb = _draw_init_batch_dyn(k, g["B"], md, g["K"], Kp, cfg, opt,
+                                  codes, md_score)
+        if n != g["B"]:
+            pb = tree_map(lambda t: t[:n], pb)
+        return pb
+
+    pbs = []
+    for g in groups:
+        g["key"], sub = jax.random.split(g["key"])
+        pbs.append(make_inits(g, sub, g["B"]))
+        g["launched"] = g["B"]
+    params_b = tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *pbs)
+    state = mk_state(params_b, md_fit)
+    if cfg.n_init_iter or cfg.accel_scheme != int(AccelScheme.NONE):
+        state = prologue(state, md_fit)
+
+    while not all(g["done"] for g in groups):
+        stopped = np.asarray(state.stopped)
+        any_fresh = any(
+            (stopped[g["off"]:g["off"] + g["B"]] & ~g["harvested"]).any()
+            for g in groups if not g["done"])
+        if any_fresh:
+            lls = np.asarray(state.logL_hi + state.logL_lo)
+            convs = np.asarray(state.converged)
+            iters = np.asarray(state.n_iter)
+            faileds = np.asarray(state.failed)
+            monos = np.asarray(state.mono_viol)
+            for g in groups:
+                if g["done"]:
+                    continue
+                sl = slice(g["off"], g["off"] + g["B"])
+                fresh = np.nonzero(stopped[sl] & ~g["harvested"])[0]
+                for lane_l in fresh:
+                    g["harvested"][lane_l] = True
+                    ln = g["off"] + int(lane_l)
+                    if _bookkeep_lane(
+                            g["res"], opt, g["n_parameters"], md.I,
+                            float(lls[ln]), bool(convs[ln]),
+                            int(iters[ln]), bool(faileds[ln]),
+                            bool(monos[ln]),
+                            lambda ln=ln, K=g["K"]: _unpad_k(
+                                tree_map(lambda t: t[ln], state.params),
+                                cfg, md.I, md.L, bd=md_fit, M_full=md.M,
+                                k_lane=K),
+                            False,
+                            on_improve=((lambda r, K=g["K"]:
+                                         on_improve(K, r))
+                                        if on_improve else None),
+                            progress=g["progress"]):
+                        g["done"] = True
+                        break
+
+        # refill finished lanes of unfinished groups, one scatter per
+        # loop pass (same per-group key/refill schedule as the serial
+        # engine: content depends only on the group's own stream)
+        ref_lanes, ref_parts = [], []
+        for g in groups:
+            if g["done"] or g["launched"] >= opt.n_init:
+                continue
+            refillable = np.nonzero(g["harvested"])[0]
+            nref = min(refillable.size, opt.n_init - g["launched"])
+            if not nref:
+                continue
+            lanes = g["off"] + refillable[:nref]
+            g["key"], sub = jax.random.split(g["key"])
+            ref_parts.append(make_inits(g, sub, nref))
+            ref_lanes.append(lanes)
+            g["launched"] += nref
+            g["harvested"][refillable[:nref]] = False
+        if ref_parts:
+            fresh = tree_map(lambda *xs: jnp.concatenate(xs, axis=0),
+                             *ref_parts) if len(ref_parts) > 1 \
+                else ref_parts[0]
+            lanes = np.concatenate(ref_lanes)
+            idx_map = np.zeros(B_total, dtype=np.int32)
+            idx_map[lanes] = np.arange(lanes.size)
+            params_sc = tree_map(lambda t: t[jnp.asarray(idx_map)], fresh)
+            replace = np.zeros(B_total, dtype=bool)
+            replace[lanes] = True
+            state = refill(state, params_sc, jnp.asarray(replace), md_fit)
+        elif all(g["done"] or g["harvested"].all() for g in groups):
+            break  # nothing active anywhere and no more chains wanted
+
+        if not all(g["done"] for g in groups):
+            state = seg(state, md_fit)
+
+    out = {}
+    for g in groups:
+        g["res"].seconds = time.time() - t0
+        _score_arand(g["res"], md, opt, true_partition)
+        out[g["K"]] = g["res"]
+    return out
 
 
 def _regimes_satisfied(res: MaximizeResult, opt: Options) -> bool:

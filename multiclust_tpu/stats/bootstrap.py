@@ -269,6 +269,8 @@ def _shard_lattice_params(params_rb: Params, mesh):
     else:
         specs = Params(eta=P(None, None, DATA_AXIS, None),
                        p=P(None, None, None, MODEL_AXIS, None))
+    if params_rb.kmask is not None:
+        specs = specs._replace(kmask=P())
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(
             x, NamedSharding(mesh, _feasible_spec(x, s, mesh))),

@@ -273,35 +273,98 @@ def read_structure_shard_raw(
     return IL, names, locales, pops, I_total, IL.shape[1]
 
 
+def local_label_summary(IL: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-locus sorted distinct observed allele labels of a shard.
+
+    Returns (vocab [L, U] int64 padded with LABEL_PAD, sizes [L] int64)
+    - the shard's contribution to the cross-process label-vocabulary
+    union (runtime/ingest._global_label_vocab; replaces the single-host
+    per-locus label collection of summarize_alleles,
+    read_file.c:443-600, for sharded reads)."""
+    IL = np.asarray(IL)
+    L = IL.shape[1]
+    locs = []
+    for l in range(L):
+        obs = IL[:, l]
+        locs.append(np.unique(obs[obs != MISSING]))
+    U = max((u.size for u in locs), default=0)
+    vocab = np.full((L, max(U, 1)), LABEL_PAD, np.int64)
+    sizes = np.zeros(L, np.int64)
+    for l, u in enumerate(locs):
+        vocab[l, :u.size] = u
+        sizes[l] = u.size
+    return vocab, sizes
+
+
+#: padding sentinel for label-vocabulary tables; below any real label
+#: (the reference's labels are ints parsed by strtol, read_file.c)
+LABEL_PAD = np.int64(np.iinfo(np.int64).min)
+
+
+def codes_from_labels(IL: np.ndarray, vocab: np.ndarray,
+                      sizes: np.ndarray) -> np.ndarray:
+    """Map labeled haplotypes onto GLOBAL per-locus slot indices.
+
+    ``vocab``/``sizes`` come from the cross-process union
+    (runtime/ingest._global_label_vocab): vocab[l, :sizes[l]] is the
+    sorted global label list of locus l (the reference's L_alleles
+    ordering, missing excluded - summarize_alleles read_file.c:443-600).
+    MISSING positions stay MISSING."""
+    IL = np.asarray(IL)
+    codes = np.full_like(IL, MISSING)
+    for l in range(IL.shape[1]):
+        obs = IL[:, l] != MISSING
+        if not obs.any():
+            continue
+        v = vocab[l, :sizes[l]]
+        idx = np.searchsorted(v, IL[obs, l])
+        # every observed label must be in the global union
+        if (idx >= v.size).any() or (v[np.minimum(idx, v.size - 1)]
+                                     != IL[obs, l]).any():
+            raise StructureFormatError(
+                f"allele label missing from the global vocabulary at "
+                f"locus {l} (internal union error)")
+        codes[obs, l] = idx
+    return codes
+
+
 def read_structure_shard(path: str, i_lo: int, i_hi: int,
                          opt: Optional[Options] = None,
+                         label_vocab=None,
                          **kw) -> Tuple[Dataset, int]:
     """Read individuals [i_lo, i_hi) into a (Dataset, I_total) pair.
 
-    Multi-host restriction: the allele vocabulary must be position-coded
-    (``-I`` / alleles_are_indices) so per-shard slot indices agree
-    globally without a cross-process label sync; biobank SNP matrices
-    are.  Arbitrary label-coded panels need the single-host reader (or a
-    recode pre-pass) - documented in PARITY.md.  The caller is
-    responsible for the cross-process n_alleles/M max-reduction
-    (runtime/ingest.py does it with a process allgather).
+    Position-coded alleles (``-I``) need no coordination: per-shard slot
+    indices agree globally (only the lane-count max is synced by the
+    caller).  Label-coded panels (e.g. microsatellite fragment lengths)
+    pass ``label_vocab=(vocab, sizes)`` - the GLOBAL per-locus sorted
+    label table from the cross-process union
+    (runtime/ingest._global_label_vocab) - and the shard's labels map
+    through it; without a vocab a label-coded shard read is an error
+    (the caller must run the union pre-pass first).
     """
     if opt is None:
         opt = Options(**{k: v for k, v in kw.items()
                          if k in Options.__dataclass_fields__})
-    if not opt.alleles_are_indices:
-        raise MulticlustError(
-            Err.INVALID_CMD_OPTION,
-            "multi-host sharded reading requires position-coded alleles "
-            "(-I): per-shard allele labels cannot be reconciled without "
-            "a global pre-pass")
     IL, names, locales, pops, I_total, _ = read_structure_shard_raw(
         path, i_lo, i_hi, ploidy=opt.ploidy, R_format=opt.R_format,
         one_plus=opt.one_plus, missing_value=opt.missing_value)
+    if not opt.alleles_are_indices:
+        if label_vocab is None:
+            raise MulticlustError(
+                Err.INVALID_CMD_OPTION,
+                "label-coded sharded reading needs the global label "
+                "vocabulary (runtime/ingest builds it with a "
+                "cross-process union pre-pass)")
+        vocab, sizes = label_vocab
+        IL = codes_from_labels(IL, vocab, sizes)
     ds = from_haplotypes(
         IL, ploidy=opt.ploidy, alleles_are_indices=True,
         imputation_method=opt.imputation_method,
         names=names, locales=locales, pops=pops)
+    if not opt.alleles_are_indices:
+        vocab, sizes = label_vocab
+        ds.L_alleles = [vocab[l, :sizes[l]] for l in range(vocab.shape[0])]
     return ds, I_total
 
 

@@ -16,10 +16,14 @@ p parsed.  Rows past the true I (padding to a data-shard multiple) carry
 zero counts/missing and row_valid=False, the engine's standard inert
 padding (runtime/mesh.pad_md_rows_loci semantics).
 
-Cross-process allele vocabulary: multi-host reads require position-coded
-alleles (-I), so only the per-locus allele-count MAXIMUM needs syncing -
-one tiny process_allgather of the [L] n_alleles vector (PARITY.md
-documents the label-coded restriction).
+Cross-process allele vocabulary: position-coded alleles (-I) need only
+the per-locus allele-count MAXIMUM synced (one [L] allgather).
+Label-coded panels (microsatellite fragment lengths etc.) get a GLOBAL
+per-locus label vocabulary: each process summarizes its shard's distinct
+labels (io/structure.local_label_summary), the [L, U] tables allgather
+and union per locus in sorted order - the reference's summarize_alleles
+ordering (read_file.c:443-600) - and every shard maps its labels through
+the shared table (codes_from_labels).  One parse per shard either way.
 """
 
 from __future__ import annotations
@@ -55,6 +59,44 @@ def process_partition(I_padded: int, n_proc: int, pid: int
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _global_label_vocab(vloc: np.ndarray, sloc: np.ndarray, n_proc: int):
+    """Union the per-process per-locus label tables into the GLOBAL
+    sorted vocabulary (the single-host reader's np.unique order =
+    summarize_alleles' ascending sort, read_file.c:443-600).
+
+    ``vloc`` is this process's [L, U_loc] LABEL_PAD-padded table
+    (io/structure.local_label_summary).  The allgather ships
+    O(P * L * U) ints - tiny for real label-coded panels (microsatellite
+    L is small; SNP labels have U <= 4)."""
+    from multiclust_tpu.io.structure import LABEL_PAD
+
+    if n_proc == 1:
+        return vloc, np.asarray(sloc, np.int64)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    U_loc = vloc.shape[1]
+    U = int(np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(np.array([U_loc], np.int64)))).max())
+    if U_loc < U:
+        vloc = np.pad(vloc, ((0, 0), (0, U - U_loc)),
+                      constant_values=LABEL_PAD)
+    g = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(vloc)))                            # [P, L, U]
+    L = vloc.shape[0]
+    uniques = []
+    for l in range(L):
+        vals = g[:, l, :].ravel()
+        uniques.append(np.unique(vals[vals != LABEL_PAD]))
+    Ug = max((u.size for u in uniques), default=0)
+    vocab = np.full((L, max(Ug, 1)), LABEL_PAD, np.int64)
+    sizes = np.zeros(L, np.int64)
+    for l, u in enumerate(uniques):
+        vocab[l, :u.size] = u
+        sizes[l] = u.size
+    return vocab, sizes
 
 
 def load_structure_distributed(path: str, opt, mesh, dtype=None,
@@ -95,16 +137,48 @@ def load_structure_distributed(path: str, opt, mesh, dtype=None,
     Ip = _round_up(I_total, dd)
     lo, hi = process_partition(Ip, n_proc, pid)
     real_hi = min(hi, I_total)
-    ds_local, I_check = read_structure_shard(path, min(lo, I_total),
-                                             real_hi, opt)
+    label_sizes = None
+    if opt.alleles_are_indices:
+        ds_local, I_check = read_structure_shard(path, min(lo, I_total),
+                                                 real_hi, opt)
+    else:
+        # label-coded panel: parse the shard ONCE, union the per-locus
+        # label sets across processes (sorted - summarize_alleles order,
+        # read_file.c:443-600), then map the shard through the table
+        from multiclust_tpu.io.dataset import from_haplotypes
+        from multiclust_tpu.io.structure import codes_from_labels, \
+            local_label_summary, read_structure_shard_raw
+        IL, names, locales, pops, I_check, _ = read_structure_shard_raw(
+            path, min(lo, I_total), real_hi, ploidy=opt.ploidy,
+            R_format=opt.R_format, one_plus=opt.one_plus,
+            missing_value=opt.missing_value)
+        vloc, sloc = local_label_summary(IL)
+        vocab, label_sizes = _global_label_vocab(vloc, sloc, n_proc)
+        codes = codes_from_labels(IL, vocab, label_sizes)
+        ds_local = from_haplotypes(
+            codes, ploidy=opt.ploidy, alleles_are_indices=True,
+            # single-process: the shard IS the dataset, local mode =
+            # global mode; multi-process -m is handled by the CLI's
+            # global-mode imputation path
+            imputation_method=(opt.imputation_method
+                               if n_proc == 1 else 0),
+            names=names, locales=locales, pops=pops)
+        ds_local.L_alleles = [vocab[l, :label_sizes[l]]
+                              for l in range(vocab.shape[0])]
     assert I_check == I_total, (I_check, I_total)
 
     # allele-count sync: global per-locus max (position-coded alleles
-    # guarantee slot agreement; only the lane COUNT can differ per shard)
+    # guarantee slot agreement; only the lane COUNT can differ per
+    # shard).  Label-coded panels know the exact global counts from the
+    # vocabulary union.
     n_all_local = np.asarray(ds_local.n_alleles, np.int64)
     miss_any_loc = np.asarray(ds_local.miss, np.int64).any(axis=0)
     L = n_all_local.shape[0]
-    if n_proc > 1:
+    if label_sizes is not None:
+        n_alleles = np.asarray(label_sizes, np.int64)
+        miss_any = (np.asarray(_allgather_sum(
+            miss_any_loc.astype(np.int64))) > 0)
+    elif n_proc > 1:
         from jax.experimental import multihost_utils
         gathered = np.asarray(
             multihost_utils.process_allgather(jnp.asarray(n_all_local)))

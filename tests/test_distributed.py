@@ -100,7 +100,8 @@ def test_two_process_fit_matches_single_process(snp_file, tmp_path, dd, mm,
         assert ll == ll_ref, (ll, ll_ref)
 
 
-def _run_cli(extra, pid, nproc, port, outdir, local_devices, data):
+def _run_cli(extra, pid, nproc, port, outdir, local_devices, data,
+             use_index=True):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
@@ -111,8 +112,8 @@ def _run_cli(extra, pid, nproc, port, outdir, local_devices, data):
                    MULTICLUST_PROCESS_ID=str(pid))
     return subprocess.Popen(
         [sys.executable, "-m", "multiclust_tpu.cli", "--platform",
-         "cpu", "-f", data, "-a", "-I", "--mesh", "8x1",
-         "-d", str(outdir)] + extra,
+         "cpu", "-f", data, "-a", "--mesh", "8x1",
+         "-d", str(outdir)] + (["-I"] if use_index else []) + extra,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
 
@@ -232,6 +233,57 @@ def test_two_process_cli_warm_start(snp_file, tmp_path):
     llM = logl(outM / f"{name}.admix.K=2.out.txt")
     assert np.isfinite(ll1)
     assert ll1 == llM, (ll1, llM)
+
+
+def test_two_process_cli_label_coded(tmp_path):
+    """LABEL-coded (microsatellite fragment-length) panel WITHOUT -I
+    under multi-process: per-shard allele vocabularies union into the
+    global sorted table (runtime/ingest._global_label_vocab), so the
+    2-process fit and output files match the single-process run exactly
+    (VERDICT r4 missing 1; replaces the single-host-only
+    summarize_alleles pattern, read_file.c:443-600).  The panel is built
+    so some labels appear ONLY in the second process's row block - a
+    shard-local vocabulary would misnumber slots."""
+    rng = np.random.default_rng(23)
+    I, L = 64, 12
+    path = tmp_path / "microsat.str"
+    with open(path, "w") as fh:
+        fh.write(" ".join(f"loc{j}" for j in range(L)) + "\n")
+        for i in range(I):
+            for _ in range(2):
+                hap = []
+                for j in range(L):
+                    # labels 120/124/128 everywhere; 132 only in rows
+                    # >= 32 (the second process's block)
+                    hi = 4 if i >= 32 else 3
+                    hap.append(120 + 4 * int(rng.integers(0, hi)))
+                if rng.random() < 0.3:
+                    hap[int(rng.integers(0, L))] = -9
+                fh.write(f"ind{i} pop{i % 2} "
+                         + " ".join(map(str, hap)) + "\n")
+    data = str(path)
+
+    out1 = tmp_path / "one"
+    outM = tmp_path / "multi"
+    out1.mkdir(); outM.mkdir()
+    extra = ["-k", "2", "-n", "2"]
+    p = _run_cli(extra, 0, 1, 0, out1, 8, data, use_index=False)
+    log1, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, log1[-3000:]
+    procs = [_run_cli(extra, i, 2, 12503, outM, 4, data, use_index=False)
+             for i in range(2)]
+    logs = [pp.communicate(timeout=540)[0] for pp in procs]
+    assert all(pp.returncode == 0 for pp in procs), \
+        "\n".join(log[-3000:] for log in logs)
+
+    name = os.path.basename(data)
+    # converged fit identical (same program once vocabularies agree)
+    one = open(out1 / f"{name}.admix.K=2.out.txt").read()
+    multi = open(outM / f"{name}.admix.K=2.out.txt").read()
+    assert one == multi
+    # jagged .pklm (3- and 4-allele loci) byte-identical
+    assert (open(out1 / f"{name}.admix.K=2.pklm.txt").read()
+            == open(outM / f"{name}.admix.K=2.pklm.txt").read())
 
 
 def test_two_process_timed_regime_no_hang(snp_file, tmp_path):

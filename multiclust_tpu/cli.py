@@ -342,7 +342,10 @@ TPU-NATIVE OPTIONS (no reference counterpart)
 \t\tDevice mesh for multi-chip fits: D data (individual) shards
 \t\tx M loci shards; 'auto' puts every device on the data axis.
 \t--checkpoint <dir>
-\t\tPersist/resume the multi-start sweep state.
+\t\tPersist/resume the multi-start sweep state.  K-sweep state is
+\t\tsingle-process only (sharded best-parameters cannot be
+\t\thost-materialized); bootstrap progress (-b) checkpoints on
+\t\tmulti-process runs too (process 0 writes, resume broadcasts).
 \t--compile-cache <dir|off>
 \t\tPersistent XLA compilation cache (default
 \t\t~/.cache/multiclust-tpu/xla); repeat invocations skip
@@ -453,30 +456,25 @@ def _main(argv: Optional[List[str]] = None) -> int:
         # whole-file read, read_file.c:38-300).  Fit results (logL,
         # AIC/BIC, model selection) are replicated scalars printed by
         # every process's own stdout; per-individual output files are
-        # written as per-process row-block parts.  Remaining single-host
-        # features (PARITY.md): -b bootstrap, --impute, and -w combined
-        # with -A (the per-repeat arand runs inside the engine loop).
-        bs_exotic = opt.n_bootstrap and (
-            opt.target_ll or opt.target_revisit or opt.n_seconds
-            or opt.verbosity > 3)
-        for flag, name in ((bs_exotic,
-                            "-b with -u/-t/-v>3 (serial bootstrap)"),
-                           (opt.n_repeat != 1 and bool(opt.afile),
-                            "-w combined with -A"),
-                           # mode imputation over a row SHARD would use
-                           # the shard-local mode, silently diverging
-                           # from the single-host global-mode semantics
-                           (opt.imputation_method, "-m imputation"),
-                           (opt.imputed_outfile, "--impute outfile")):
-            if flag:
-                raise UsageError(
-                    f"{name} is not supported on multi-process runs; "
-                    f"run it single-host")
+        # written as per-process row-block parts.  The full reference
+        # flag surface runs multi-process since round 5: -m/--impute
+        # uses the global allgather-summed mode, -w+-A scores through
+        # allgather-summed contingency tables, -b covers every regime
+        # (device-side replicate codes) and checkpoints through process
+        # 0 with a broadcast resume.  Only --checkpoint for the K-SWEEP
+        # state remains single-process (sharded best-parameters are not
+        # host-materializable) - stated in the usage text.
         if not opt.mesh_shape:
             raise UsageError("multi-process runs require --mesh")
+        if opt.checkpoint_dir and not opt.n_bootstrap:
+            raise UsageError(
+                "--checkpoint (K-sweep state) is single-process only; "
+                "bootstrap checkpointing (-b with --checkpoint) works "
+                "multi-process")
         from multiclust_tpu.runtime.ingest import codes_distributed, \
             load_structure_distributed, score_arand_distributed, \
-            warm_start_distributed, write_outputs_distributed
+            warm_start_distributed, write_data_distributed, \
+            write_outputs_distributed
         from multiclust_tpu.runtime.mesh import cached_mesh
         mesh = cached_mesh(tuple(opt.mesh_shape))
         dtype = jnp.dtype(opt.dtype)
@@ -484,6 +482,9 @@ def _main(argv: Optional[List[str]] = None) -> int:
         md, info = load_structure_distributed(
             opt.filename, opt, mesh, dtype=dtype, storage_dtype=storage)
         ds, I_total = info.ds_local, info.I_total
+        if opt.imputation_method and opt.imputed_outfile:
+            # sharded imputed-data write (each process its row block)
+            write_data_distributed(opt, ds, info, opt.imputed_outfile)
         opt = opt.synchronize(I_total, opt.ploidy)
         want_files = opt.write_files
         opt.write_files = False  # the engine's own writers are host-global
@@ -526,8 +527,15 @@ def _main(argv: Optional[List[str]] = None) -> int:
                 print_model_state(opt, ds, mres, time.time() - t_start)
 
         if opt.n_repeat != 1:
+            # -w + -A: per-repeat adjusted Rand from allgather-summed
+            # per-process contingency tables (score_arand_distributed)
+            score_fn = None
+            if truth is not None:
+                score_fn = (lambda mres: score_arand_distributed(
+                    opt, md, info, mres, truth))
             timed_model_estimation(key, md, ds, opt, n_parameters,
-                                   codes=codes, warm=warm)
+                                   codes=codes, warm=warm,
+                                   score_fn=score_fn)
             return 0
 
         est = estimate_model(key, md, opt, n_parameters, codes=codes,
@@ -537,14 +545,13 @@ def _main(argv: Optional[List[str]] = None) -> int:
             print(f"{est.last.max_logL:f}")
 
         if opt.n_bootstrap:
-            # BATCHED bootstrap under multi-process: the replicate
-            # lattices are pure SPMD programs over the global md (the
-            # simulate/init/fit chain never materializes sharded arrays
-            # on the host), so every process runs the identical
-            # computation and harvests the replicated ts scalars.  The
-            # serial path (-u/-t/-v>3) is gated above; checkpointing
-            # stays off (a partially-visible checkpoint file could
-            # diverge the processes).
+            # Bootstrap under multi-process: the replicate lattices (and
+            # the serial -u/-t/-v>3 loop, whose replicate codes are
+            # device-side) are pure SPMD programs over the global md, so
+            # every process runs the identical computation and harvests
+            # the replicated ts scalars.  Checkpointing goes through
+            # process 0 with a broadcast resume
+            # (stats/bootstrap._load_bootstrap_synced).
             from multiclust_tpu.stats.bootstrap import run_bootstrap
             key, sub = jax.random.split(key)
 
@@ -555,7 +562,7 @@ def _main(argv: Optional[List[str]] = None) -> int:
 
             bres = run_bootstrap(sub, md, opt, n_parameters, est.ts,
                                  est.h0_params, opt.ploidy, log=blog,
-                                 checkpoint_dir=None)
+                                 checkpoint_dir=opt.checkpoint_dir)
             print(f"p-value to reject H0: K={bres.null_K} is "
                   f"{bres.pvalue:f}")
         return 0

@@ -162,12 +162,14 @@ def admixture_indivq_mass(opt: Options, ds: Dataset, eta: np.ndarray,
 
 
 def write_data(opt: Options, ds: Dataset, outfile: Optional[str],
-               use_counts: bool = False) -> str:
+               use_counts: bool = False, header: bool = True) -> str:
     """Write genotype data (write_data, write_file.c:22-130).
 
     ``use_counts`` reconstructs haplotypes from the count tensor (bootstrap
     replicates); copies are emitted missing-first then ascending alleles,
     matching the reference's slot-order walk (write_file.c:104-122).
+    ``header=False`` omits the locus-name line (sharded multi-process
+    parts after the first, runtime/ingest.write_data_distributed).
     """
     if outfile is None:
         outfile = os.path.join(opt.path or "./", "bs.str")
@@ -198,7 +200,9 @@ def write_data(opt: Options, ds: Dataset, outfile: Optional[str],
 
     with open(outfile, "w") as fp:
         if fmt == OutputFormat.STRUCTURE:
-            fp.write(" ".join(f"loc{l + 1}" for l in range(ds.L)) + "\n")
+            if header:
+                fp.write(" ".join(f"loc{l + 1}"
+                                  for l in range(ds.L)) + "\n")
             for i in range(ds.I):
                 for j in range(ds.ploidy):
                     fp.write("%s %s" % (names[i], pops[locales[i]]))

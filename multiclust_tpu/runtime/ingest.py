@@ -99,6 +99,58 @@ def _global_label_vocab(vloc: np.ndarray, sloc: np.ndarray, n_proc: int):
     return vocab, sizes
 
 
+def _impute_global_mode(ds_local, n_proc: int):
+    """-m/--impute under sharded ingestion: the imputation mode must be
+    the GLOBAL per-locus modal allele (summarize_alleles imputation,
+    read_file.c:487-509, :545-554) - a shard-local mode would silently
+    diverge between processes.  Per-process count histograms
+    allgather-sum into the global [L, M] table; missing copies then move
+    to the argmax slot (ties -> smallest, as the reference) and the
+    shard is missing-free.  Single-process this equals the single-host
+    reader's imputation exactly."""
+    counts = np.asarray(ds_local.counts, np.int64)
+    miss = np.asarray(ds_local.miss, np.int64)
+    M_loc = counts.shape[2]
+    if n_proc > 1:
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        M = int(np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(np.array([M_loc], np.int64)))).max())
+    else:
+        M = M_loc
+    if M > M_loc:
+        counts = np.pad(counts, ((0, 0), (0, 0), (0, M - M_loc)))
+    hist = _allgather_sum(counts.sum(axis=0))          # [L, M] global
+    mode = hist.argmax(axis=1)                         # ties -> smallest
+    counts[:, np.arange(counts.shape[1]), mode] += miss
+    IL = ds_local.IL
+    if IL is not None:
+        IL = np.where(IL == -9, mode[None, :], IL)
+    ds_local.counts = counts.astype(ds_local.counts.dtype)
+    ds_local.miss = np.zeros_like(miss, dtype=ds_local.miss.dtype)
+    ds_local.IL = IL
+    # the mode is a globally observed allele, so n_alleles cannot grow;
+    # a shard may gain a locally-unseen slot - the global n_alleles
+    # union/max downstream already covers it
+    ds_local.n_alleles = np.maximum(
+        np.asarray(ds_local.n_alleles, np.int64), mode + 1)
+    return ds_local
+
+
+def write_data_distributed(opt, ds_local, info, outfile: str) -> None:
+    """Sharded --impute/--format data writer (write_data,
+    write_file.c:22-130): every process writes ITS row block as
+    ``<outfile>.part<p>`` (process 0's part carries the header); ``cat``
+    the parts in process order for the single-host file."""
+    import jax
+
+    from multiclust_tpu.io import writers
+
+    pid = jax.process_index()
+    writers.write_data(opt, ds_local, f"{outfile}.part{pid}",
+                       header=(pid == 0))
+
+
 def load_structure_distributed(path: str, opt, mesh, dtype=None,
                                storage_dtype=None):
     """Parse ``path`` cooperatively across jax processes onto ``mesh``.
@@ -138,9 +190,14 @@ def load_structure_distributed(path: str, opt, mesh, dtype=None,
     lo, hi = process_partition(Ip, n_proc, pid)
     real_hi = min(hi, I_total)
     label_sizes = None
+    # imputation must use the GLOBAL mode (the _impute_global_mode pass
+    # below); shard-local imputation inside the readers is suppressed
+    import dataclasses as _dc
+    opt_read = (_dc.replace(opt, imputation_method=0)
+                if opt.imputation_method else opt)
     if opt.alleles_are_indices:
         ds_local, I_check = read_structure_shard(path, min(lo, I_total),
-                                                 real_hi, opt)
+                                                 real_hi, opt_read)
     else:
         # label-coded panel: parse the shard ONCE, union the per-locus
         # label sets across processes (sorted - summarize_alleles order,
@@ -157,15 +214,23 @@ def load_structure_distributed(path: str, opt, mesh, dtype=None,
         codes = codes_from_labels(IL, vocab, label_sizes)
         ds_local = from_haplotypes(
             codes, ploidy=opt.ploidy, alleles_are_indices=True,
-            # single-process: the shard IS the dataset, local mode =
-            # global mode; multi-process -m is handled by the CLI's
-            # global-mode imputation path
-            imputation_method=(opt.imputation_method
-                               if n_proc == 1 else 0),
+            imputation_method=0,  # global-mode imputation runs below
             names=names, locales=locales, pops=pops)
         ds_local.L_alleles = [vocab[l, :label_sizes[l]]
                               for l in range(vocab.shape[0])]
     assert I_check == I_total, (I_check, I_total)
+
+    if opt.imputation_method:
+        ds_local = _impute_global_mode(ds_local, n_proc)
+    if not opt.alleles_are_indices:
+        # restore label-space IL (the writers emit LABELS, as the
+        # single-host reader's IL does; the code-space IL from the
+        # global-vocabulary mapping is an internal representation)
+        IL_codes = np.asarray(ds_local.IL)
+        Lv = vocab.shape[0]
+        lab = vocab[np.arange(Lv)[None, :], np.maximum(IL_codes, 0)]
+        from multiclust_tpu.config import MISSING as _MISS
+        ds_local.IL = np.where(IL_codes == _MISS, _MISS, lab)
 
     # allele-count sync: global per-locus max (position-coded alleles
     # guarantee slot agreement; only the lane COUNT can differ per

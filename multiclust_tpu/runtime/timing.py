@@ -54,8 +54,13 @@ class TimingStats:
 
 def timed_model_estimation(key, md, ds, opt: Options, n_parameters_fn,
                            codes=None, warm=None, true_partition=None,
-                           emit: Optional[Callable[[str], None]] = None
+                           emit: Optional[Callable[[str], None]] = None,
+                           score_fn: Optional[Callable] = None
                            ) -> TimingStats:
+    """``score_fn(mres) -> arand`` replaces the in-engine -A scoring for
+    multi-process runs (runtime/ingest.score_arand_distributed: the
+    contingency tables allgather-sum; the engine's own scorer needs
+    host-global arrays)."""
     emit = emit or (lambda s: print(s))
     st = TimingStats()
     start = time.time()
@@ -66,6 +71,8 @@ def timed_model_estimation(key, md, ds, opt: Options, n_parameters_fn,
         est = estimate_model(sub, md, opt, n_parameters_fn, codes=codes,
                              warm=warm, true_partition=true_partition)
         res = est.last
+        if score_fn is not None and res.best_params is not None:
+            res.arand = score_fn(res)
         if res.max_logL > st.max_ll:
             st.max_ll = res.max_logL
             st.min_aic = res.aic

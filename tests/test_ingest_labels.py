@@ -79,3 +79,24 @@ def test_single_process_label_ingest_matches_reader(microsat_file):
     # the global vocabulary matches the single-host L_alleles
     for a, b in zip(info.ds_local.L_alleles, ds_ref.L_alleles):
         np.testing.assert_array_equal(a, b)
+
+
+def test_single_process_global_mode_imputation(microsat_file):
+    """-m/--impute through the distributed loader: the global-mode
+    imputation pass (runtime/ingest._impute_global_mode) reproduces the
+    single-host reader's imputation exactly - counts, zeroed miss, AND
+    the label-space IL the data writers emit."""
+    import jax.numpy as jnp
+
+    from multiclust_tpu.runtime.ingest import load_structure_distributed
+    from multiclust_tpu.runtime.mesh import cached_mesh
+
+    opt = Options(imputation_method=1)
+    ds_ref = read_structure(microsat_file, opt)
+    assert not ds_ref.miss.any()
+    md, info = load_structure_distributed(
+        microsat_file, opt, cached_mesh((8, 1)), dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(md.x)[:ds_ref.I],
+                                  ds_ref.counts)
+    assert not np.asarray(md.miss).any()
+    np.testing.assert_array_equal(info.ds_local.IL, ds_ref.IL)

@@ -286,6 +286,11 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
     reduction."""
     from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
 
+    # dynamic-K chains never reach the p0-representation (the in-kernel
+    # p update's clip shares the `project` flag with the eta Michelot;
+    # runtime/multistart._to_bi_repr routes them to the generic path)
+    assert params.kmask is None, "bi-repr is static-K only"
+
     if cfg.mesh is not None and (cfg.data_shards > 1
                                  or cfg.model_shards > 1):
         return _em_step_bi_repr_meshed(params, md, cfg, want_ll)
@@ -489,9 +494,12 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
             params, md, cfg, p2, x2, padded, interpret, want_ll)
 
     if (cfg.bi_repr_active and cfg.k_true and K % 32 == 0
-            and eta.shape[-1] == K):
+            and eta.shape[-1] == K and params.kmask is None):
         # full-p params outside the engine (serial driver, fit_k1): use
-        # the biallelic kernel with per-iteration [K, L, 2] glue
+        # the biallelic kernel with per-iteration [K, L, 2] glue.
+        # Dynamic-K chains skip it: the in-kernel p update's 2-simplex
+        # clip shares the static `project` flag the kmask relocation
+        # must disable (see runtime/multistart._to_bi_repr)
         out = _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll)
         if out is not None:
             return out
@@ -821,6 +829,43 @@ def _bucketed_fullstep_chain(params, bd, cfg, want_ll):
     return params._replace(eta=a0, p=new_ps), ll, scale
 
 
+def _em_step_constrained_bucketed(params, bd, cfg):
+    """Constrained-eta (-c) EM step over locus buckets (round 5): the
+    collapsed column-sum statistics (em_alg.c constrained restriction)
+    are lane-additive over (l, m), so each bucket contributes its own
+    a-term at its own allele ceiling while the S/p updates stay
+    bucket-local.  Same math as _em_step_constrained per true lane."""
+    from multiclust_tpu.model.bucketed import split_params_like
+
+    params = split_params_like(params, bd)
+    eta = params.eta                                  # [K]
+    K = eta.shape[-1]
+    a = None
+    ts = []
+    new_ps = []
+    for md_b, p_b in zip(bd.buckets, params.p):
+        p2 = p_b.reshape(K, -1)
+        colx = jnp.sum(md_b.x2d, axis=0)              # [LM_b]
+        msum = jnp.sum(md_b.miss.astype(md_b.dtype), axis=0)
+        denom = eta @ p2
+        ts.append(jnp.where(colx > 0, colx * safe_log(denom), 0.0))
+        S = _safe_div(colx, denom).reshape(md_b.L, md_b.M) \
+            + msum[:, None]
+        S = jnp.where(md_b.mask, S, 0.0)
+        a_b = p2 @ S.reshape(-1)
+        a = a_b if a is None else a + a_b
+        pc = p_b * S[None]
+        new_ps.append(_normalize_p(pc, md_b, cfg, params.kmask))
+    eta_num = eta * a
+    eta_new = eta_num / jnp.sum(eta_num)
+    if cfg.do_projection:
+        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
+    t_all = jnp.concatenate(ts)
+    ll = df64.df_sum(t_all)
+    scale = jnp.sqrt(jnp.sum(t_all * t_all))
+    return params._replace(eta=eta_new, p=tuple(new_ps)), ll, scale
+
+
 def _em_step_bucketed(params, bd, cfg, want_ll=True):
     """Jagged-M admixture EM step over locus buckets (model/bucketed.py):
     one sweep launch per bucket with that bucket's own allele ceiling -
@@ -831,10 +876,14 @@ def _em_step_bucketed(params, bd, cfg, want_ll=True):
     read_file.c:443-600 without M_max padding waste)."""
     from multiclust_tpu.model.bucketed import split_params_like
 
+    if cfg.eta_constrained:
+        return _em_step_constrained_bucketed(params, bd, cfg)
+
     params = split_params_like(params, bd)
     eta = params.eta
 
-    if (cfg.use_pallas != "off" and eta.dtype == jnp.float32
+    if (cfg.use_pallas != "off" and cfg.mesh is None
+            and eta.dtype == jnp.float32
             and cfg.k_true and eta.shape[-1] % 32 == 0):
         out = _bucketed_fullstep_fused(params, bd, cfg, want_ll)
         if out is None:

@@ -273,6 +273,49 @@ def _em_step_bi_kernel(params: Params, md: ModelData, cfg: EMConfig):
     return Params(eta=eta, p=p_new), ll, scale, v
 
 
+def _em_step_bucketed(params: Params, bd, cfg: EMConfig):
+    """Jagged-M mixture EM step over locus buckets (model/bucketed.py,
+    round 5): the score contraction sum_lm x_ilm log p_klm and the
+    M-step count merge v^T x are both lane-additive over (l, m), so each
+    bucket contributes its own term at its own allele ceiling - the
+    jagged `uniquealleles` semantics (read_file.c:443-600) without
+    M_max padding, for the MIXTURE model (e_step_mixture
+    em_alg.c:763-897; m_step_mixture :907-1011)."""
+    from multiclust_tpu.model.bucketed import split_params_like
+
+    params = split_params_like(params, bd)
+    K = params.p[0].shape[-3]
+    s = None
+    for md_b, p_b in zip(bd.buckets, params.p):
+        logp = safe_log(p_b, md_b.mask[None]).reshape(K, -1)
+        s_b = md_b.x2d @ logp.T
+        s = s_b if s is None else s + s_b
+    s = _mask_scores(s + safe_log(params.eta)[None, :], params)
+    v, ll, scale = _posterior_and_ll(s, bd.buckets[0].row_valid)
+    dtype = v.dtype
+    eta = _finish_eta(v, cfg, params.kmask)
+    new_ps = []
+    for md_b, p_b in zip(bd.buckets, params.p):
+        pc = (v.T @ md_b.x2d).reshape(K, md_b.L, md_b.M)
+        new_ps.append(_finish_p(pc, md_b, cfg, dtype))
+    return params._replace(eta=eta, p=tuple(new_ps)), ll, scale, v
+
+
+def log_likelihood_bucketed(params: Params, bd):
+    from multiclust_tpu.model.bucketed import split_params_like
+
+    params = split_params_like(params, bd)
+    K = params.p[0].shape[-3]
+    s = None
+    for md_b, p_b in zip(bd.buckets, params.p):
+        logp = safe_log(p_b, md_b.mask[None]).reshape(K, -1)
+        s_b = md_b.x2d @ logp.T
+        s = s_b if s is None else s + s_b
+    s = _mask_scores(s + safe_log(params.eta)[None, :], params)
+    _, ll, scale = _posterior_and_ll(s, bd.buckets[0].row_valid)
+    return ll, scale
+
+
 def em_step(params: Params, md: ModelData,
             cfg: EMConfig) -> Tuple[Params, df64.DF, Array, Array]:
     """One EM iteration: returns (new params, df64 logL(params), scale, v).
@@ -280,6 +323,9 @@ def em_step(params: Params, md: ModelData,
     As in the reference (em_step, em_alg.c:195-207) the returned logL is the
     likelihood of the INPUT parameters ("one step late").
     """
+    from multiclust_tpu.model.bucketed import BucketedData
+    if isinstance(md, BucketedData):
+        return _em_step_bucketed(params, md, cfg)
     if _kernel_ok(md, cfg, params):
         out = _em_step_bi_kernel(params, md, cfg)
         if out is not None:

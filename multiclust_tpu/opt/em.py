@@ -129,14 +129,16 @@ def model_em_step(params: Params, md: ModelData, cfg: EMConfig,
 
 
 def model_log_likelihood(params: Params, md: ModelData, cfg: EMConfig):
+    from multiclust_tpu.model.bucketed import BucketedData
     if cfg.admixture:
-        from multiclust_tpu.model.bucketed import BucketedData
         from multiclust_tpu.model.common import is_bi_repr
         if isinstance(md, BucketedData):
             return admixture.log_likelihood_bucketed(params, md)
         if cfg.bi_repr_active and is_bi_repr(params):
             return admixture.log_likelihood_bi_repr(params, md)
         return admixture.log_likelihood(params, md)
+    if isinstance(md, BucketedData):
+        return mixture.log_likelihood_bucketed(params, md)
     return mixture.log_likelihood(params, md, cfg)
 
 

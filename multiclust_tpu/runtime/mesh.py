@@ -123,6 +123,15 @@ def _feasible_spec(x, spec: P, mesh: Mesh) -> P:
 
 
 def shard_model_data(md: ModelData, mesh: Mesh) -> ModelData:
+    from multiclust_tpu.model.bucketed import BucketedData
+    if isinstance(md, BucketedData):
+        # per-bucket data shards over the data axis; the (tiny) locus
+        # permutation tables stay replicated
+        def rep(x):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return md._replace(
+            buckets=tuple(shard_model_data(b, mesh) for b in md.buckets),
+            perm=rep(md.perm), inv=rep(md.inv), x_lanes=None)
     # x_flat is derived data (prepare_for_em re-derives it inside jit with
     # the sharding propagated from x); don't ship it across the mesh
     md = md._replace(x_flat=None, x_bi=None, miss_st=None)
@@ -162,7 +171,14 @@ def shard_chain_params(params_b: Params, mesh: Mesh) -> Params:
     model axis (live when model_shards > 1: the emit_a kernels +
     model-axis psums consume per-shard p0 blocks,
     model/admixture._em_step_bi_repr_meshed)."""
-    if params_b.eta.ndim < 3:
+    if isinstance(params_b.p, tuple):
+        # jagged buckets compose with data-axis meshes only: p leaves
+        # replicated, per-individual eta on the data axis
+        p_specs = tuple(P() for _ in params_b.p)
+        specs = Params(eta=(P(None, DATA_AXIS, None)
+                            if params_b.eta.ndim >= 3 else P()),
+                       p=p_specs)
+    elif params_b.eta.ndim < 3:
         specs = Params(eta=P(), p=P(None, None, MODEL_AXIS, None))
     elif params_b.p.ndim == params_b.eta.ndim:
         specs = Params(eta=P(None, DATA_AXIS, None),
@@ -186,7 +202,10 @@ def constrain_chain_state(state, mesh: Mesh):
     [B, ..., K, L, M] pin L to the model axis; scalars-per-chain stay
     replicated."""
     per_individual = state.params.eta.ndim >= 3
-    bi_repr = state.params.p.ndim == state.params.eta.ndim
+    p_leaf = state.params.p
+    bucketed = isinstance(p_leaf, tuple)
+    bi_repr = (not bucketed
+               and p_leaf.ndim == state.params.eta.ndim)
 
     def c(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
@@ -197,6 +216,10 @@ def constrain_chain_state(state, mesh: Mesh):
         return c(x, P(*([None] * (x.ndim - 2) + [DATA_AXIS, None])))
 
     def p_spec(x):
+        if isinstance(x, tuple):
+            # jagged buckets: p replicated (bucketed fits compose only
+            # with data-axis meshes, where p carries no sharded axis)
+            return x
         if bi_repr:
             # p0-representation [.., Kp, Lp]: loci (last axis) on the
             # model axis (runtime/mesh.shard_chain_params)
@@ -216,8 +239,18 @@ def constrain_chain_state(state, mesh: Mesh):
 def pad_md_rows_loci(md: ModelData, I_pad: int, L_pad: int) -> ModelData:
     """Zero-pad device-side ModelData to (I_pad, L_pad); padded loci carry
     n_alleles=0 / mask False so they are inert (test_sharding
-    test_padded_rows_are_inert)."""
+    test_padded_rows_are_inert).  BucketedData pads rows per bucket
+    (bucketed fits compose only with DATA-axis meshes, so L never
+    pads)."""
     import jax.numpy as jnp
+
+    from multiclust_tpu.model.bucketed import BucketedData
+    if isinstance(md, BucketedData):
+        assert L_pad == md.L, (L_pad, md.L)
+        return md._replace(
+            buckets=tuple(pad_md_rows_loci(b, I_pad, b.L)
+                          for b in md.buckets),
+            x_lanes=None)
     dI, dL = I_pad - md.I, L_pad - md.L
     if dI <= 0 and dL <= 0:
         return md

@@ -90,7 +90,17 @@ def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
     Under a LOCI-sharded mesh (model_shards > 1) the input L must
     already be per-shard tile-aligned (the engine pads the fit data with
     _loci_pad_target first): a tail pad here would land entirely on the
-    last model shard and misalign p0 columns against the x sharding."""
+    last model shard and misalign p0 columns against the x sharding.
+
+    Dynamic-K chains (params.kmask) stay on the FULL representation: the
+    biallelic kernels run the p update (incl. its 2-simplex clip)
+    in-kernel under the same static `project` flag as the eta Michelot,
+    and the kmask relocation must disable the latter - the generic
+    fullstep (p epilogue in XLA, masked through the kmask) is the
+    correct path.  Round-5 lesson: with project=False the p0 clip was
+    silently lost and swept-lattice chains converged ~1.5x worse."""
+    if params.kmask is not None:
+        return params
     if not cfg.bi_repr_active or params.p.ndim == params.eta.ndim:
         return params
     from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
@@ -465,11 +475,16 @@ def _mesh_place_chain_batch(pb: Params, cfg: EMConfig,
     on already-padded params."""
     if cfg.mesh is None or cfg.eta_is_vector:
         return pb
+    from multiclust_tpu.model.bucketed import BucketedData, \
+        split_params_like
     from multiclust_tpu.runtime.mesh import shard_chain_params
     Ip = _row_pad_target(md_fit.I, cfg) or md_fit.I
     pb = _pad_params_rows(pb, Ip, cfg)
-    pb = _pad_params_loci(pb, md_fit.L)
-    pb = _to_bi_repr(pb, cfg, Ip, md_fit.L)
+    if isinstance(md_fit, BucketedData):
+        pb = split_params_like(pb, md_fit)
+    else:
+        pb = _pad_params_loci(pb, md_fit.L)
+        pb = _to_bi_repr(pb, cfg, Ip, md_fit.L)
     return shard_chain_params(pb, cfg.mesh)
 
 
@@ -700,12 +715,15 @@ def _prepare_fit_data(md: ModelData, cfg: EMConfig, opt: Options):
 
     # jagged-M panels (mixed SNP/microsatellite): bucket loci by allele
     # count so each launch pads only to its own M ceiling
-    # (model/bucketed.py; SURVEY.md section 7 "hard parts").  Gated to
-    # unconstrained admixture off-mesh; worth it when the dense padding
-    # waste crosses ~25%.
+    # (model/bucketed.py; SURVEY.md section 7 "hard parts").  Applies to
+    # ALL model types since round 5 (mixture/constrained steps are
+    # lane-additive too) and composes with DATA-axis meshes (the XLA
+    # bucket loop shards under GSPMD; the fused kernels stay
+    # single-device).  Loci-sharded meshes keep the dense layout (a
+    # bucket is smaller than a useful loci shard).  Worth it when the
+    # dense padding waste crosses ~25%.
     bucketed = False
-    if (cfg.admixture and not cfg.eta_constrained and cfg.mesh is None
-            and md.M > 2):
+    if md.M > 2 and cfg.model_shards == 1:
         from multiclust_tpu.model.bucketed import bucketize_model_data, \
             lane_pad, plan_buckets, worth_bucketing
         n_all = np.asarray(jax.device_get(md.n_alleles))
@@ -718,7 +736,9 @@ def _prepare_fit_data(md: ModelData, cfg: EMConfig, opt: Options):
             # NOT admit the tight width (the chained per-bucket
             # launches need per-launch tile alignment)
             plan = plan_buckets(n_all, md.M, tight=True)
-            if plan is not None and cfg.use_pallas != "off" and cfg.k_true:
+            if (plan is not None and cfg.use_pallas != "off"
+                    and cfg.k_true and cfg.admixture
+                    and not cfg.eta_constrained and cfg.mesh is None):
                 from multiclust_tpu.model.common import k_padded_size
                 from multiclust_tpu.ops.kernels import pick_layout
                 LMt = sum((hi - lo) * M_b

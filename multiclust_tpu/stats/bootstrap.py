@@ -142,11 +142,26 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
     per-chunk key splits are replayed from the saved key)."""
     from multiclust_tpu.init.random import codes_from_counts_jax, initialize
     from multiclust_tpu.runtime.multistart import _loci_pad_target, \
-        _pad_k, _pad_params_loci, _pad_params_rows, \
+        _pad_k, _pad_md_rows, _pad_params_loci, _pad_params_rows, \
         _row_pad_target, _to_bi_repr, cfg_from_options
 
     B = max(opt.n_init, 1)
     chunk = replicate_chunk(md, B, n_reps)
+
+    # jagged-M panels: replicate lattices ride the bucketed
+    # representation too (round 5; model/bucketed.py) - each replicate's
+    # count tensor buckets by the SHARED plan (n_alleles is
+    # replicate-invariant).  Off-mesh only (the jagged mesh composition
+    # is data-axis GSPMD, which the [R, B] lattice does not use).
+    plan = bd_template = None
+    if md.M > 2 and not opt.mesh_shape:
+        from multiclust_tpu.model.bucketed import bucketize_model_data, \
+            plan_buckets, worth_bucketing
+        n_all = np.asarray(jax.device_get(md.n_alleles))
+        if worth_bucketing(n_all):
+            plan = plan_buckets(n_all, md.M, tight=True)
+            if plan is not None:
+                bd_template = bucketize_model_data(md, plan)
     ts = []
     start = 0
     if checkpoint_dir:
@@ -184,15 +199,23 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
             )(counts_b)
             Ip = _row_pad_target(md.I, cfg) or md.I
             Lp = _loci_pad_target(md.L, Ip, cfg)
-            md_fit_b = md_b
-            if Ip != md.I or Lp != md.L:
-                from multiclust_tpu.runtime import mesh as mesh_mod
+            if plan is not None:
+                from multiclust_tpu.model.bucketed import \
+                    bucketize_model_data
                 md_fit_b = jax.vmap(
-                    lambda m: mesh_mod.pad_md_rows_loci(m, Ip, Lp))(md_b)
-            if cfg.mesh is not None:
-                # replicate x init stay vmap axes; I/L shard on the mesh
-                # (SURVEY.md section 2.3 bootstrap parallelism + DP/TP)
-                md_fit_b = _shard_replicates(md_fit_b, cfg.mesh)
+                    lambda m: _pad_md_rows(
+                        bucketize_model_data(m, plan), Ip))(md_b)
+            else:
+                md_fit_b = md_b
+                if Ip != md.I or Lp != md.L:
+                    from multiclust_tpu.runtime import mesh as mesh_mod
+                    md_fit_b = jax.vmap(
+                        lambda m: mesh_mod.pad_md_rows_loci(m, Ip, Lp)
+                    )(md_b)
+                if cfg.mesh is not None:
+                    # replicate x init stay vmap axes; I/L shard on the
+                    # mesh (SURVEY.md 2.3 bootstrap parallelism + DP/TP)
+                    md_fit_b = _shard_replicates(md_fit_b, cfg.mesh)
 
             def init_rep(kr, m, cd):
                 def one(k):
@@ -211,12 +234,21 @@ def _batched_ts(key, md: ModelData, opt, h0_params: Params, ploidy: int,
                 keys_r, md_b,
                 codes_b if codes_b is not None
                 else jnp.zeros((c, 1), jnp.int32))
-            # biallelic panels: carry the lattice in the p0-representation
-            # so replicate fits run the fused biallelic kernels (only the
-            # per-replicate max logL is harvested - no unpad needed)
-            params_rb = _to_bi_repr(params_rb, cfg, Ip, Lp)
-            if cfg.mesh is not None:
-                params_rb = _shard_lattice_params(params_rb, cfg.mesh)
+            if bd_template is not None:
+                # pre-split the lattice params by the shared bucket
+                # shapes (per-step splitting would re-gather every
+                # iteration); batch axes pass through split_params_like
+                from multiclust_tpu.model.bucketed import \
+                    split_params_like
+                params_rb = split_params_like(params_rb, bd_template)
+            else:
+                # biallelic panels: carry the lattice in the
+                # p0-representation so replicate fits run the fused
+                # biallelic kernels (only the per-replicate max logL is
+                # harvested - no unpad needed)
+                params_rb = _to_bi_repr(params_rb, cfg, Ip, Lp)
+                if cfg.mesh is not None:
+                    params_rb = _shard_lattice_params(params_rb, cfg.mesh)
             state = _fit_lattice(params_rb, md_fit_b, cfg)
             lls = np.asarray(state.logL_hi + state.logL_lo)   # [c, B]
             lls = np.where(np.isfinite(lls), lls, -np.inf)

@@ -55,6 +55,59 @@ def test_plan_buckets_shape():
     assert plan_buckets(np.full(50, 2), 2) is None
 
 
+def test_bucketed_mixture_step_matches_dense(rng):
+    """Jagged composition (round 5): the MIXTURE model rides the same
+    concatenated-lane representation - scores and count merges are
+    lane-additive (model/mixture._em_step_bucketed)."""
+    from multiclust_tpu.model import mixture
+
+    md, params, Ml = make_mixed_panel(rng, missing=0.1)
+    params = params._replace(eta=jnp.asarray(
+        np.random.default_rng(1).dirichlet(np.full(3, 2.0))))
+    cfg = EMConfig(admixture=False, has_missing=True)
+    ref, llr, _, vr = mixture.em_step(params, md, cfg)
+
+    plan = plan_buckets(np.asarray(Ml), md.M, min_bucket=4)
+    bd = bucketize_model_data(md, plan)
+    out, llb, _, vb = mixture.em_step(params, bd, cfg)
+    got = merge_params_like(out, bd, md.M)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.eta), np.asarray(ref.eta),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(vr), atol=1e-12)
+    assert abs(float(df64.df_value(llr))
+               - float(df64.df_value(llb))) < 1e-8
+    ll2, _ = mixture.log_likelihood_bucketed(params, bd)
+    assert abs(float(df64.df_value(ll2))
+               - float(df64.df_value(llr))) < 1e-8
+
+
+def test_bucketed_constrained_step_matches_dense(rng):
+    """Jagged composition (round 5): the constrained-eta (-c) step's
+    collapsed statistics are lane-additive too
+    (model/admixture._em_step_constrained_bucketed)."""
+    from multiclust_tpu.model.common import collapse_for_constrained
+
+    md, params, Ml = make_mixed_panel(rng, missing=0.1)
+    params = params._replace(eta=jnp.asarray(
+        np.random.default_rng(2).dirichlet(np.full(3, 2.0))))
+    cfg = EMConfig(admixture=True, eta_constrained=True, has_missing=True)
+    mdc = collapse_for_constrained(md)
+    ref, llr, _ = admixture.em_step(params, mdc, cfg)
+
+    plan = plan_buckets(np.asarray(Ml), md.M, min_bucket=4)
+    bd = bucketize_model_data(mdc, plan)
+    out, llb, _ = admixture.em_step(params, bd, cfg)
+    got = merge_params_like(out, bd, md.M)
+    np.testing.assert_allclose(np.asarray(got.p), np.asarray(ref.p),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.eta), np.asarray(ref.eta),
+                               atol=1e-12)
+    assert abs(float(df64.df_value(llr))
+               - float(df64.df_value(llb))) < 1e-8
+
+
 @pytest.mark.parametrize("missing", [0.0, 0.15])
 def test_bucketed_step_matches_dense(rng, missing):
     """One bucketed EM step == the dense step to f64 roundoff (A/t
@@ -194,3 +247,111 @@ def test_bucketed_production_engine(rng, accel):
     # dense padded lanes restored as exact zeros in original locus order
     mask = np.asarray(md.mask)
     assert (np.asarray(res_b.best_params.p)[:, ~mask] == 0).all()
+
+
+def test_bucketed_production_engine_mixture(rng):
+    """Round-5 composition: MIXTURE fits on jagged panels auto-bucket
+    and reach the dense fit's optimum."""
+    from multiclust_tpu.config import Options
+    import multiclust_tpu.model.bucketed as bk
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    md, _, Ml = make_mixed_panel(rng, I=36, L=60, missing=0.1)
+    opt = Options(admixture=False, n_init=2, batch_chains=2, min_K=3,
+                  max_K=3, dtype="float64",
+                  n_rand_em_init=2).synchronize(md.I, 2)
+    res_b = maximize_likelihood(jax.random.PRNGKey(5), md, 3, opt,
+                                n_parameters=50)
+    orig = bk.worth_bucketing
+    bk.worth_bucketing = lambda *a, **k: False
+    try:
+        res_d = maximize_likelihood(jax.random.PRNGKey(5), md, 3, opt,
+                                    n_parameters=50)
+    finally:
+        bk.worth_bucketing = orig
+    assert res_b.ever_converged
+    assert res_b.best_params.p.shape == res_d.best_params.p.shape
+    assert abs(res_b.max_logL - res_d.max_logL) < 1e-6
+    np.testing.assert_allclose(np.asarray(res_b.best_params.p),
+                               np.asarray(res_d.best_params.p), atol=1e-6)
+
+
+def test_bucketed_production_engine_constrained(rng):
+    """Round-5 composition: constrained-eta fits bucket the COLLAPSED
+    column-sum dataset and reach the dense optimum."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    import multiclust_tpu.model.bucketed as bk
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    md, _, Ml = make_mixed_panel(rng, I=36, L=60, missing=0.1)
+    codes = jnp.asarray(codes_from_counts(
+        np.asarray(md.x, np.int64), np.asarray(md.miss, np.int64), 2))
+    opt = Options(admixture=True, eta_constrained=True, n_init=2,
+                  batch_chains=2, min_K=3, max_K=3, dtype="float64",
+                  n_rand_em_init=2).synchronize(md.I, 2)
+    res_b = maximize_likelihood(jax.random.PRNGKey(7), md, 3, opt,
+                                n_parameters=50, codes=codes)
+    orig = bk.worth_bucketing
+    bk.worth_bucketing = lambda *a, **k: False
+    try:
+        res_d = maximize_likelihood(jax.random.PRNGKey(7), md, 3, opt,
+                                    n_parameters=50, codes=codes)
+    finally:
+        bk.worth_bucketing = orig
+    assert res_b.ever_converged
+    assert abs(res_b.max_logL - res_d.max_logL) < 1e-6
+    np.testing.assert_allclose(np.asarray(res_b.best_params.p),
+                               np.asarray(res_d.best_params.p), atol=1e-6)
+
+
+def test_bucketed_production_engine_meshed(rng):
+    """Round-5 composition: jagged fits on a DATA-axis mesh - buckets
+    shard over individuals (GSPMD on the XLA bucket loop) and the fit
+    matches the off-mesh bucketed fit."""
+    from multiclust_tpu.config import Options
+    from multiclust_tpu.init.random import codes_from_counts
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    md, _, Ml = make_mixed_panel(rng, I=40, L=60, missing=0.1)
+    codes = jnp.asarray(codes_from_counts(
+        np.asarray(md.x, np.int64), np.asarray(md.miss, np.int64), 2))
+    base = dict(admixture=True, n_init=2, batch_chains=2, min_K=3,
+                max_K=3, dtype="float64", n_rand_em_init=2)
+    opt0 = Options(**base).synchronize(md.I, 2)
+    optM = Options(**base, mesh_shape=(8, 1)).synchronize(md.I, 2)
+    res0 = maximize_likelihood(jax.random.PRNGKey(9), md, 3, opt0,
+                               n_parameters=50, codes=codes)
+    resM = maximize_likelihood(jax.random.PRNGKey(9), md, 3, optM,
+                               n_parameters=50, codes=codes)
+    assert resM.ever_converged
+    assert abs(res0.max_logL - resM.max_logL) < 1e-6, \
+        (res0.max_logL, resM.max_logL)
+    np.testing.assert_allclose(np.asarray(resM.best_params.p),
+                               np.asarray(res0.best_params.p), atol=1e-6)
+
+
+def test_bucketed_batched_bootstrap(rng):
+    """Round-5 composition: the batched bootstrap lattice rides the
+    jagged representation - ts lists match a dense-forced run."""
+    from multiclust_tpu.config import Options
+    import multiclust_tpu.model.bucketed as bk
+    from multiclust_tpu.model.common import Params
+    from multiclust_tpu.stats.bootstrap import _batched_ts
+
+    md, params, Ml = make_mixed_panel(rng, I=36, L=60, missing=0.1)
+    opt = Options(admixture=True, n_init=1, min_K=2, max_K=3,
+                  n_bootstrap=2, dtype="float64", max_iter=150,
+                  n_rand_em_init=2).synchronize(md.I, 2)
+    h0 = Params(eta=params.eta[:, :2] /
+                jnp.sum(params.eta[:, :2], 1, keepdims=True),
+                p=params.p[:2])
+    key = jax.random.PRNGKey(11)
+    ts_b = _batched_ts(key, md, opt, h0, 2, 2)
+    orig = bk.worth_bucketing
+    bk.worth_bucketing = lambda *a, **k: False
+    try:
+        ts_d = _batched_ts(key, md, opt, h0, 2, 2)
+    finally:
+        bk.worth_bucketing = orig
+    np.testing.assert_allclose(ts_b, ts_d, atol=1e-6)

@@ -214,3 +214,56 @@ def test_swept_eligibility_gate():
     ks = list(range(2, 6))
     # CPU default: device_policy()[0] False -> serial
     assert not swept_eligible(base.synchronize(100, 2), md, ks)
+
+
+def test_swept_jagged_matches_serial(rng):
+    """Swept lattice x jagged-M bucketing: the kmask rides the tuple-p
+    pytree and per-K results match the serial (also bucketed) loop."""
+    ds = _dataset(rng, K=3, I=40, L=40, M=6)
+    assert ds.M > 2
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    from multiclust_tpu.init.random import codes_from_counts
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+    opt = Options(admixture=True, min_K=2, max_K=3, n_init=2,
+                  dtype="float64", max_iter=200, n_rand_em_init=2)
+    opt = opt.synchronize(ds.I, ds.ploidy)
+    got = _run_sweep(ds, md, opt, codes, 13, swept=True)
+    want = _run_sweep(ds, md, opt, codes, 13, swept=False)
+    for K in want:
+        np.testing.assert_allclose(got[K].max_logL, want[K].max_logL,
+                                   rtol=1e-9)
+        assert got[K].best_params.p.shape == want[K].best_params.p.shape
+
+
+def test_swept_biallelic_interpret_matches_serial(rng):
+    """Swept lattice on BIALLELIC data with the interpret-mode kernels:
+    dynamic-K chains take the generic fullstep (p epilogue in XLA,
+    masked through the kmask) while the serial path runs the
+    p0-representation kernels - converged optima must agree (round-5
+    regression guard: with the in-kernel p clip silently disabled,
+    swept chains converged ~1.5x worse)."""
+    import multiclust_tpu.runtime.multistart as ms
+
+    ds = _dataset(rng, K=3, I=32, L=64, M=2)
+    md = model_data_from_dataset(ds, dtype=jnp.float32,
+                                 storage_dtype=jnp.int8)
+    from multiclust_tpu.init.random import codes_from_counts
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+    opt = Options(admixture=True, min_K=2, max_K=3, n_init=2,
+                  n_rand_em_init=2, max_iter=80)
+    opt = opt.synchronize(ds.I, ds.ploidy)
+
+    orig = ms.cfg_from_options
+    ms.cfg_from_options = (lambda o, k, m=None:
+                           orig(o, k, m)._replace(use_pallas="interpret"))
+    try:
+        got = _run_sweep(ds, md, opt, codes, 21, swept=True)
+        want = _run_sweep(ds, md, opt, codes, 21, swept=False)
+    finally:
+        ms.cfg_from_options = orig
+    for K in want:
+        # identical inits; generic-vs-p0 kernels differ in fp path, so
+        # compare at a tolerance that still flags lost projections
+        np.testing.assert_allclose(got[K].max_logL, want[K].max_logL,
+                                   rtol=2e-3)
+        assert got[K].n_launched == want[K].n_launched

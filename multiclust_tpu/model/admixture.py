@@ -225,7 +225,8 @@ def _em_step_bi_repr_meshed(params, md, cfg, want_ll=True):
         aout, per_i, b0, b1 = fn(
             eta_l, p0_l, x0_l, x1_l, c_l, m[0] if m else None,
             ti=ti, tl=tl, k_true=cfg.k_true, lb=lb, plb=plb,
-            project=cfg.do_projection and kmask is None,
+            project=cfg.do_projection,
+            project_eta=cfg.do_projection and kmask is None,
             compute_t=want_ll, emit_b=True,
             emit_a=emit_a, interpret=interpret)
         if emit_a:
@@ -286,11 +287,6 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
     reduction."""
     from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
 
-    # dynamic-K chains never reach the p0-representation (the in-kernel
-    # p update's clip shares the `project` flag with the eta Michelot;
-    # runtime/multistart._to_bi_repr routes them to the generic path)
-    assert params.kmask is None, "bi-repr is static-K only"
-
     if cfg.mesh is not None and (cfg.data_shards > 1
                                  or cfg.model_shards > 1):
         return _em_step_bi_repr_meshed(params, md, cfg, want_ll)
@@ -309,7 +305,11 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
     eta_new, per_i, p0n = fn(
         eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
-        project=cfg.do_projection and params.kmask is None,
+        project=cfg.do_projection,
+        # dynamic-K: only the ETA Michelot moves to XLA (static-k_true
+        # lane set); the in-kernel p clip stays on (round-5 lesson: a
+        # blanket project=False silently dropped it)
+        project_eta=cfg.do_projection and params.kmask is None,
         compute_t=want_ll, interpret=cfg.use_pallas == "interpret")
     if cfg.do_projection and params.kmask is not None:
         eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
@@ -494,12 +494,9 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
             params, md, cfg, p2, x2, padded, interpret, want_ll)
 
     if (cfg.bi_repr_active and cfg.k_true and K % 32 == 0
-            and eta.shape[-1] == K and params.kmask is None):
+            and eta.shape[-1] == K):
         # full-p params outside the engine (serial driver, fit_k1): use
-        # the biallelic kernel with per-iteration [K, L, 2] glue.
-        # Dynamic-K chains skip it: the in-kernel p update's 2-simplex
-        # clip shares the static `project` flag the kmask relocation
-        # must disable (see runtime/multistart._to_bi_repr)
+        # the biallelic kernel with per-iteration [K, L, 2] glue
         out = _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll)
         if out is not None:
             return out
@@ -591,7 +588,8 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
     eta_new, per_i, p0n = fn(
         eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
-        project=cfg.do_projection and params.kmask is None,
+        project=cfg.do_projection,
+        project_eta=cfg.do_projection and params.kmask is None,
         compute_t=want_ll, interpret=interpret)
     if cfg.do_projection and params.kmask is not None:
         eta_new = _project_eta_rows(eta_new, cfg, params.kmask)

@@ -314,7 +314,8 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
                         tl: int, n_i: int, n_l: int, k_true: int,
                         lb: float, plb: float, project: bool,
                         compute_t: bool, with_miss: bool, emit_b: bool,
-                        emit_a: bool = False, with_a0: bool = False):
+                        emit_a: bool = False, with_a0: bool = False,
+                        project_eta: bool = None):
     """Biallelic full EM step: see ``admixture_fullstep_biallelic``."""
     rest = list(rest)
     miss_ref = rest.pop(0) if with_miss else None
@@ -394,7 +395,10 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
             tot = jnp.sum(num, axis=1, keepdims=True)
             e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
                            eta_ref[:])
-            if project:
+            # dynamic-K callers disable ONLY the eta Michelot (its lane
+            # set is the static k_true) and project in XLA through the
+            # kmask; the p clip below stays governed by `project`
+            if project if project_eta is None else project_eta:
                 e2 = _michelot_tile(e2, k_true, lb)
             etan_ref[:] = e2
 
@@ -425,7 +429,7 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
-    "emit_a", "chunk_idx", "n_chunks", "interpret"))
+    "emit_a", "chunk_idx", "n_chunks", "interpret", "project_eta"))
 def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
                                  ti: int,
                                  tl: int, k_true: int, lb: float, plb: float,
@@ -433,7 +437,8 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
                                  emit_b: bool = False,
                                  emit_a: bool = False,
                                  chunk_idx: int = 0, n_chunks: int = 1,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 project_eta: bool = None):
     """Fully fused biallelic (M=2, every locus 2 valid alleles) EM step.
 
     Exploits p1 = 1 - p0 and d1 = sum_k eta - d0: the denominator and A
@@ -549,7 +554,8 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
         functools.partial(_fullstep_bi_kernel, tl=tl, n_i=n_i, n_l=n_l,
                           k_true=k_true, lb=lb, plb=plb, project=project,
                           compute_t=compute_t, with_miss=with_miss,
-                          emit_b=emit_b, emit_a=emit_a, with_a0=with_a0),
+                          emit_b=emit_b, emit_a=emit_a, with_a0=with_a0,
+                          project_eta=project_eta),
         grid=(n_i, n_l),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -738,7 +744,8 @@ def admixture_fullstep_biallelic_chunked(eta, p0, x0, x1, c, miss=None, *,
                                          compute_t: bool = True,
                                          emit_b: bool = False,
                                          emit_a: bool = False,
-                                         interpret: bool = False):
+                                         interpret: bool = False,
+                                         project_eta: bool = None):
     """ONE-PASS biallelic full step for L beyond the resident-B budget: a
     chain of ``n_chunks`` resident fullstep launches over tl-aligned
     column chunks (static block-spec offsets - no HBM slicing), with the
@@ -766,7 +773,8 @@ def admixture_fullstep_biallelic_chunked(eta, p0, x0, x1, c, miss=None, *,
             eta, p0, x0, x1, c, miss, a0, ti=ti, tl=tl, k_true=k_true,
             lb=lb, plb=plb, project=project, compute_t=compute_t,
             emit_b=emit_b, emit_a=emit_a if last else True,
-            chunk_idx=j, n_chunks=n_chunks, interpret=interpret)
+            chunk_idx=j, n_chunks=n_chunks, interpret=interpret,
+            project_eta=project_eta)
         if emit_b:
             aout, t_j, b0, b1 = out
             b0_chunks.append(b0)
@@ -788,7 +796,8 @@ def admixture_fullstep_biallelic_chunked(eta, p0, x0, x1, c, miss=None, *,
 def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
                       etan_ref, t_ref, a_scr, r_scr, *,
                       n_l: int, k_true: int, lb: float, project: bool,
-                      compute_t: bool, emit_a: bool = False):
+                      compute_t: bool, emit_a: bool = False,
+                      project_eta: bool = None):
     """Streamed pass A (grid i-outer, l-inner): per-individual statistics
     and the COMPLETE eta update; p0 streams through VMEM as [Kp, tl]
     blocks.  Same math as _fullstep_bi_kernel's A/t/eta side."""
@@ -829,7 +838,8 @@ def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
             tot = jnp.sum(num, axis=1, keepdims=True)
             e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
                            eta_ref[:])
-            if project:
+            # dynamic-K callers project in XLA (see _fullstep_bi_kernel)
+            if project if project_eta is None else project_eta:
                 e2 = _michelot_tile(e2, k_true, lb)
             etan_ref[:] = e2
 
@@ -896,7 +906,7 @@ def _bi_lstats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
-    "emit_a", "interpret"))
+    "emit_a", "interpret", "project_eta"))
 def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
                                           ti: int, tl: int, k_true: int,
                                           lb: float, plb: float,
@@ -904,7 +914,8 @@ def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
                                           compute_t: bool = True,
                                           emit_b: bool = False,
                                           emit_a: bool = False,
-                                          interpret: bool = False):
+                                          interpret: bool = False,
+                                          project_eta: bool = None):
     """Biallelic full EM step for UNBOUNDED L: two passes, each streaming
     x once and p0 as [Kp, tl] blocks, with the eta update finished in pass
     A and the p update finished per l-block in pass B - B0/B1 never leave
@@ -928,6 +939,7 @@ def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
     etan, t_out = pl.pallas_call(
         functools.partial(_bi_istats_kernel, n_l=n_l, k_true=k_true, lb=lb,
                           project=project, compute_t=compute_t,
+                          project_eta=project_eta,
                           emit_a=emit_a),
         grid=(n_i, n_l),
         in_specs=[

@@ -92,15 +92,12 @@ def _to_bi_repr(params: Params, cfg: EMConfig, Ip: int, L: int) -> Params:
     _loci_pad_target first): a tail pad here would land entirely on the
     last model shard and misalign p0 columns against the x sharding.
 
-    Dynamic-K chains (params.kmask) stay on the FULL representation: the
-    biallelic kernels run the p update (incl. its 2-simplex clip)
-    in-kernel under the same static `project` flag as the eta Michelot,
-    and the kmask relocation must disable the latter - the generic
-    fullstep (p epilogue in XLA, masked through the kmask) is the
-    correct path.  Round-5 lesson: with project=False the p0 clip was
-    silently lost and swept-lattice chains converged ~1.5x worse."""
-    if params.kmask is not None:
-        return params
+    Dynamic-K chains (params.kmask) ride the representation too: the
+    kernels take ``project_eta=False`` so only the eta Michelot (whose
+    lane set is the static k_true) moves to XLA with the kmask, while
+    the in-kernel p update keeps its 2-simplex clip.  (Round-5 lesson:
+    a blanket project=False silently dropped that clip and
+    swept-lattice chains converged ~1.5x worse.)"""
     if not cfg.bi_repr_active or params.p.ndim == params.eta.ndim:
         return params
     from multiclust_tpu.ops.kernels import pick_layout_biallelic_any
@@ -594,12 +591,17 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     n_parameters: int, codes, t0: float,
                     checkpoint_dir=None, segment: int = 16,
                     md_score: Optional[ModelData] = None,
-                    on_improve=None, progress=None) -> None:
+                    on_improve=None, progress=None,
+                    shared_Kp: int = 0) -> None:
     """Continuous-batching multi-start engine: B vmapped chains run in
     lockstep segments; a stopped lane is immediately harvested and refilled
     with a fresh initialization instead of idling until the slowest chain
     finishes.  Bookkeeping runs in completion order (the reference's serial
-    ordinals like n_maxll_init refer to completed-chain counts here)."""
+    ordinals like n_maxll_init refer to completed-chain counts here).
+
+    ``shared_Kp``: dynamic-K mode - cfg carries k_true=shared_Kp and the
+    chains their kmask, so every K of a K-sweep reuses THIS engine's
+    compiled programs (ksweep shared-program serial sweep)."""
     prologue, seg, mk_state, _, refill = _batch_fns(cfg, segment)
     fixed_n = (not opt.target_revisit and not opt.target_ll
                and not opt.n_seconds)
@@ -610,10 +612,15 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
     def make_inits(k, n):
         # always draw a full-width batch (ONE compiled init program per
         # K; distinct widths would recompile) and slice the lanes needed
-        pb = _draw_init_batch(k, B, md, K, cfg, opt, codes, md_score)
+        if shared_Kp:
+            pb = _draw_init_batch_dyn(k, B, md, K, shared_Kp, cfg, opt,
+                                      codes, md_score)
+        else:
+            pb = _draw_init_batch(k, B, md, K, cfg, opt, codes, md_score)
         if n != B:
             pb = tree_map(lambda t: t[:n], pb)
-        pb = _pad_k(pb, cfg)
+        if not shared_Kp:
+            pb = _pad_k(pb, cfg)
         return _mesh_place_chain_batch(pb, cfg, md_fit)
 
     key, sub = jax.random.split(key)
@@ -641,7 +648,8 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                     bool(faileds[lane]), bool(monos[lane]),
                     lambda ln=lane: _unpad_k(
                         tree_map(lambda t: t[ln], state.params), cfg,
-                        md.I, md.L, bd=md_fit, M_full=md.M),
+                        md.I, md.L, bd=md_fit, M_full=md.M,
+                        k_lane=K if shared_Kp else None),
                     timed_out, on_improve=on_improve, progress=progress)
                 if done:
                     return
@@ -691,7 +699,8 @@ def _run_continuous(key, res: MaximizeResult, md: ModelData,
                             bool(faileds[lane]), bool(monos[lane]),
                             lambda ln=lane: _unpad_k(
                                 tree_map(lambda t: t[ln], state.params),
-                                cfg, md.I, md.L, bd=md_fit, M_full=md.M),
+                                cfg, md.I, md.L, bd=md_fit, M_full=md.M,
+                                k_lane=K if shared_Kp else None),
                             True, on_improve=on_improve,
                             progress=progress):
                         return
@@ -790,15 +799,18 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
                         codes=None, warm: Optional[Params] = None,
                         true_partition=None,
                         checkpoint_dir: Optional[str] = None,
-                        on_improve=None, quiet: bool = False
-                        ) -> MaximizeResult:
+                        on_improve=None, quiet: bool = False,
+                        shared_Kp: int = 0) -> MaximizeResult:
     """Maximize over initializations (maximize_likelihood,
     multiclust.c:471-656).  ``checkpoint_dir`` persists/resumes the sweep
     state after every batch of chains (runtime/checkpoint.py);
     ``on_improve(res)`` fires whenever an init improves the best logL
     (best-so-far output persistence, multiclust.c:584-600); ``quiet``
     suppresses per-init progress (bootstrap replicate fits)."""
-    cfg = cfg_from_options(opt, K, md)
+    # shared_Kp (ksweep shared-program serial sweep): the static config
+    # carries the SHARED padded lane count, chains their kmask - every K
+    # of the sweep then reuses one compiled program set
+    cfg = cfg_from_options(opt, shared_Kp or K, md)
     res = MaximizeResult(K=K)
     t0 = time.time()
     progress = _make_progress(opt, K, t0, quiet)
@@ -846,7 +858,7 @@ def maximize_likelihood(key, md: ModelData, K: int, opt: Options,
         _run_continuous(key, res, md, md_fit, K, cfg, opt, n_parameters,
                         codes, t0, checkpoint_dir=checkpoint_dir,
                         md_score=md_score, on_improve=on_improve,
-                        progress=progress)
+                        progress=progress, shared_Kp=shared_Kp)
         res.seconds = time.time() - t0
         if checkpoint_dir:
             from multiclust_tpu.runtime import checkpoint as ckpt

@@ -40,7 +40,7 @@ def _sds(shape, dtype):
 
 
 def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False,
-               emit_a=False, chunk=None):
+               emit_a=False, chunk=None, project_eta=None):
     """``chunk``: None = plain resident; "mid"/"fin" = the chained
     one-pass chunk-mode bindings (admixture_fullstep_biallelic_chunked) -
     full-width arrays with static block-offset maps, a0 threading, and
@@ -68,7 +68,8 @@ def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False,
         kw = dict(emit_b=emit_b, emit_a=emit_a, chunk_idx=1, n_chunks=2)
     kn.admixture_fullstep_biallelic.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
-        compute_t=compute_t, interpret=False, **kw).compile()
+        project_eta=project_eta, compute_t=compute_t, interpret=False,
+        **kw).compile()
     return (I, Kp, Lp)
 
 
@@ -185,6 +186,10 @@ def main() -> int:
                                  (emits if compute_t and with_miss
                                   else ((False, False),))]
                     if compute_t and with_miss:
+                        # dynamic-K swept-sweep binding: eta Michelot
+                        # off (projected in XLA via the kmask), p clip
+                        # ON (round-5 project_eta split)
+                        emit_list.append((False, False, "peta"))
                         # chained one-pass chunk bindings (biobank-L):
                         # non-final (emit_a, no a0) and final (a0 seeded)
                         emit_list += [(False, False, "mid"),
@@ -193,15 +198,21 @@ def main() -> int:
                     if args.chunk_only:
                         emit_list = [e for e in emit_list if e[2]]
                     for emit_b, emit_a, chunk in emit_list:
+                        peta = chunk == "peta"
+                        if peta:
+                            chunk = None
                         tag = (f"bi ti={ti} tl={tl} cap={b_max//1024}K "
                                f"Kp={Kp} t={int(compute_t)} "
                                f"miss={int(with_miss)} eb={int(emit_b)} "
-                               f"ea={int(emit_a)} ch={chunk or '-'}")
+                               f"ea={int(emit_a)} ch={chunk or '-'}"
+                               f"{' peta' if peta else ''}")
                         t0 = time.time()
                         try:
                             shape = compile_bi(ti, tl, b_max, Kp,
                                                compute_t, with_miss,
-                                               emit_b, emit_a, chunk)
+                                               emit_b, emit_a, chunk,
+                                               project_eta=(False if peta
+                                                            else None))
                             if shape is None:
                                 print(f"SKIP {tag} (no admissible Lp)")
                                 continue

@@ -267,3 +267,28 @@ def test_swept_biallelic_interpret_matches_serial(rng):
         np.testing.assert_allclose(got[K].max_logL, want[K].max_logL,
                                    rtol=2e-3)
         assert got[K].n_launched == want[K].n_launched
+
+
+def test_shared_serial_sweep_matches_static(rng):
+    """Shared-program serial sweep (maximize_likelihood shared_Kp): the
+    per-K engine runs on Kp-padded kmask chains sharing one compiled
+    program set; results match the static per-K engine chain for chain."""
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    ds = _dataset(rng, K=3, I=48, L=30)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    from multiclust_tpu.init.random import codes_from_counts
+    codes = jnp.asarray(codes_from_counts(ds.counts, ds.miss, 2))
+    opt = Options(admixture=True, n_init=3, dtype="float64",
+                  max_iter=250, min_K=2, max_K=4)
+    opt = opt.synchronize(ds.I, ds.ploidy)
+    for K in (2, 3, 4):
+        key = jax.random.PRNGKey(100 + K)
+        dyn = maximize_likelihood(key, md, K, opt, 50, codes=codes,
+                                  quiet=True, shared_Kp=32)
+        st = maximize_likelihood(key, md, K, opt, 50, codes=codes,
+                                 quiet=True)
+        assert dyn.n_launched == st.n_launched
+        np.testing.assert_allclose(dyn.max_logL, st.max_logL, rtol=1e-9)
+        assert dyn.best_params.p.shape == st.best_params.p.shape
+        assert dyn.best_params.kmask is None

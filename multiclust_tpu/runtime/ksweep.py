@@ -74,12 +74,18 @@ def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
     #   rest converge early).
     swept: Dict[int, MaximizeResult] = {}
     shared_Kp = 0
+    import os as _os
     from multiclust_tpu.model.common import k_padded_size
     from multiclust_tpu.runtime.multistart import swept_eligible, \
         swept_maximize
-    eligible = warm is None and checkpoint_dir is None
+    # MULTICLUST_SWEEP_MODE: auto (default) | static | shared | merged -
+    # A/B escape hatch for benchmarking the execution shapes
+    mode = _os.environ.get("MULTICLUST_SWEEP_MODE", "auto")
+    eligible = (warm is None and checkpoint_dir is None
+                and mode != "static")
     if (eligible and swept_eligible(opt, md, ks)
-            and md.I * md.L * md.M <= 4 << 20):
+            and (md.I * md.L * md.M <= 4 << 20 or mode == "merged")
+            and mode != "shared"):
         keys_by_K = []
         subs = {}
         for K in ks:

@@ -462,6 +462,18 @@ def _em_step_unconstrained(params, md, cfg, want_ll=True):
     return params._replace(eta=eta_new, p=p_new), ll, scale
 
 
+_K_LADDER_NOTICED = set()
+
+
+def _notice_k_beyond_ladder(K: int) -> None:
+    if K not in _K_LADDER_NOTICED:
+        _K_LADDER_NOTICED.add(K)
+        import sys
+        print(f"multiclust-tpu: K lanes ({K}) exceed the TPU-verified "
+              f"kernel ladder (1024); using the XLA formulation",
+              file=sys.stderr)
+
+
 def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
     """Pallas path: the [I, LM] denominators/weights never touch HBM
     (ops/kernels.py); identical math to _em_step_unconstrained.
@@ -478,6 +490,13 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
 
     eta, p = params.eta, params.p
     K = params.K
+    if K > 1024:
+        # the kernel ladders are compile-verified only to Kp=1024
+        # (ops/kernels round-5 probes); reference -k is unbounded
+        # (multiclust.c:1447-1453), so larger fits take the XLA
+        # formulation with a one-time notice
+        _notice_k_beyond_ladder(K)
+        return _em_step_unconstrained(params, md, cfg, want_ll)
     p2 = p.reshape(K, -1)
     # keep x in its storage dtype (possibly int8): the kernels cast tiles
     # in VMEM, so HBM sees 1 byte/cell instead of 4; prefer the

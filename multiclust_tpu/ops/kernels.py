@@ -93,18 +93,29 @@ GENERIC_K_LANES = (32, 128)
 
 def _fullstep_k_fits(ti: int, tl: int, Kp: int) -> bool:
     """Large-K tile admission for the generic fullstep, probe-calibrated
-    on real TPU (round 3): all ladder entries compile at Kp <= 128
-    (swept at 32 and 128); at Kp=256 the (512,1024) tile OOMs the scoped
-    vmem while (512,512)/(256,512) pass; at Kp=512 only (256,512)-and-
-    smaller pass (the eta/etan [ti, Kp] blocks and the [Kp, tl] p tiles
-    grow with Kp).  Beyond 512 is unprobed: smallest tiles only."""
+    on real TPU: all ladder entries compile at Kp <= 128 (swept at 32
+    and 128); at Kp=256 the (512,1024) tile OOMs the scoped vmem while
+    (512,512)/(256,512) pass; at Kp=512 only (256,512)-and-smaller pass
+    (the eta/etan [ti, Kp] blocks and the [Kp, tl] p tiles grow with
+    Kp).  Round 5 closes the ladder's top: Kp=768 and Kp=1024 probed at
+    each tile's largest admissible LMp - (256,512) compile-OOMs, and
+    (128,512) down pass at both.  Beyond 1024 nothing is verified:
+    admission is REFUSED and the engine falls back to the XLA
+    formulation with a one-time notice (reference -k is unbounded,
+    multiclust.c:1447-1453)."""
     if Kp <= 128:
         return True
     if Kp <= 256:
         return ti * tl <= 512 * 512
     if Kp <= 512:
         return ti * tl <= 256 * 512
-    return ti * tl <= 128 * 512
+    if Kp <= 768:
+        return ti * tl <= 128 * 512
+    if Kp <= 1024:
+        # (128,512) passes PLAIN at 1024 but its jagged-CHAIN binding
+        # (emit_a + a0) compile-OOMs; one table serves both bindings
+        return ti * tl <= 64 * 512
+    return False
 
 
 def pick_tiles(I: int, Kp: int, LMp: int):
@@ -606,7 +617,29 @@ _FULLSTEP_BI_TILES = (
 )
 
 
-def pick_layout_biallelic(I: int, Kp: int, L: int):
+def _bi_k_fits(ti: int, tl: int, Kp: int, emit_b: bool = False) -> bool:
+    """Large-K admission for the RESIDENT biallelic tiles (round-5
+    real-TPU probe + full-sweep calibration at each tile's largest
+    per-copy Lp): at Kp in {512, 768, 1024} everything compiles EXCEPT
+    (1024, 256) (eta blocks blow the stack from Kp=512), the dynamic-K
+    project_eta binding of (256, 512) at Kp=1024, and - with emit_b
+    (mesh: b0/b1 leave scratch for resident outputs) - ti >= 512 at
+    Kp=1024.  The project_eta exclusion is folded into the plain rule
+    (one table serves static and dynamic callers).  Beyond 1024 nothing
+    is verified - admission refused; the engine's XLA fallback covers
+    unbounded -k (multiclust.c:1447-1453)."""
+    if Kp > 1024:
+        return False
+    if Kp > 256 and (ti, tl) == (1024, 256):
+        return False
+    if Kp > 768 and (ti, tl) == (256, 512):
+        return False  # project_eta binding compile-OOMs at 1024
+    if emit_b and Kp > 768 and ti > 256:
+        return False  # resident b0/b1 outputs tip (512, 256) over
+    return True
+
+
+def pick_layout_biallelic(I: int, Kp: int, L: int, emit_b: bool = False):
     """(ti, tl, Lp) for the biallelic fullstep kernel, or (0, 0, 0).
 
     Among admissible tiles, prefer the one minimizing Lp (padded-loci work
@@ -616,7 +649,8 @@ def pick_layout_biallelic(I: int, Kp: int, L: int):
     best = None
     for rank, (ti, tl, b_max) in enumerate(_FULLSTEP_BI_TILES):
         Lp = _round_up(L, tl)
-        if I % ti == 0 and Kp * Lp * 4 <= b_max:
+        if (I % ti == 0 and Kp * Lp * 4 <= b_max
+                and _bi_k_fits(ti, tl, Kp, emit_b)):
             if best is None or Lp < best[0]:
                 best = (Lp, rank, ti, tl)
     if best is None:
@@ -652,7 +686,23 @@ def _stream_vmem_fits(ti: int, tl: int, Kp: int,
     blocks [Kp, tl] (double-buffered) on top of the scratches (advisor
     r3 - the previous model admitted tiles whose emit_b variant was
     tighter than modeled); callers that will run emit_b=True must pass
-    it here so the layout choice budgets the larger variant."""
+    it here so the layout choice budgets the larger variant.
+
+    Round-5 large-K clamps, probe-calibrated on real TPU (the analytic
+    estimate under-counts Kp-scaled buffers beyond 256 lanes):
+    Kp=512 compile-OOMs (256,1024) while everything tl<=512 passes;
+    Kp=768 passes only ti<=64 (tl<=512); Kp=1024 only (64,<=256);
+    beyond 1024 nothing is verified - admission refused."""
+    if Kp > 1024:
+        return False
+    if Kp > 512 and (ti > 64 or tl > 256):
+        # (64,512) passed at Kp=768 in one session and compile-OOMed in
+        # another - the boundary is FLAKY at the stack edge; stay under
+        return False
+    if Kp > 256 and (tl > 512 or ti * tl > 256 * 512):
+        # (512,512)@512 is the same flaky-edge class (passed twice,
+        # OOMed once); (256,512)@512 has never failed
+        return False
     est = (16 * ti * tl            # 4 f32 temps
            + 6 * ti * tl           # x0/x1/miss int8 tiles, dbl-buffered
            + 12 * Kp * tl          # p0 block + B0/B1 scratch, f32
@@ -694,9 +744,15 @@ def pick_layout_biallelic_chunked(I: int, Kp: int, L: int):
     the budget cap): a non-divisor Lc forces tail x pads that sit
     INSIDE the EM while-loop (XLA does not hoist them - CLAUDE.md);
     only when no such divisor exists is the padding spread evenly."""
+    if Kp > 128:
+        # the chunk bindings (unaliased p0 windows + a0 threading) are
+        # compile-verified only to Kp=128; the round-5 full sweep caught
+        # tile-irregular OOMs from Kp=256 up - larger-K biobank fits
+        # take the calibrated streamed path instead
+        return 0, 0, 0, 0
     best = None
     for rank, (ti, tl, b_max) in enumerate(_FULLSTEP_BI_TILES):
-        if I % ti:
+        if I % ti or not _bi_k_fits(ti, tl, Kp):
             continue
         cap = b_max - b_max // 4
         Lc = (cap // (Kp * 4)) // tl * tl
@@ -725,7 +781,7 @@ def pick_layout_biallelic_any(I: int, Kp: int, L: int,
     else 'streamed' (two-pass, no Lp ceiling); ('', 0 tiles) when none
     applies.  ``emit_b`` = the caller will run the kernels with
     emit_b=True (mesh path)."""
-    ti, tl, Lp = pick_layout_biallelic(I, Kp, L)
+    ti, tl, Lp = pick_layout_biallelic(I, Kp, L, emit_b)
     if ti:
         return ti, tl, Lp, "resident"
     ti, tl, Lc, n_chunks = pick_layout_biallelic_chunked(I, Kp, L)

@@ -178,9 +178,12 @@ def main() -> int:
         # interpolated, not probed)
         emits = ((False, False), (True, False), (True, True))
         for ti, tl, b_max in kn._FULLSTEP_BI_TILES:
-            # Kp=256 probed OK round-4 continued (the per-copy budget
-            # scales correctly: Lp shrinks with Kp)
-            for Kp in ((32,) if args.fast else (32, 64, 128, 256)):
+            # Kp=256 probed round 4; 512/768/1024 probed round 5
+            # (_bi_k_fits carries the one calibrated exclusion)
+            for Kp in ((32,) if args.fast
+                       else (32, 64, 128, 256, 512, 768, 1024)):
+                if not kn._bi_k_fits(ti, tl, Kp):
+                    continue
                 for compute_t, with_miss in variants:
                     emit_list = [(eb, ea, None) for eb, ea in
                                  (emits if compute_t and with_miss
@@ -201,6 +204,14 @@ def main() -> int:
                         peta = chunk == "peta"
                         if peta:
                             chunk = None
+                        # round-5 calibrated exclusions: chunk bindings
+                        # verified to Kp=128; emit_b resident outputs
+                        # tighten large-K admission
+                        if chunk and Kp > 128:
+                            continue
+                        if emit_b and not kn._bi_k_fits(ti, tl, Kp,
+                                                        emit_b=True):
+                            continue
                         tag = (f"bi ti={ti} tl={tl} cap={b_max//1024}K "
                                f"Kp={Kp} t={int(compute_t)} "
                                f"miss={int(with_miss)} eb={int(emit_b)} "
@@ -228,7 +239,8 @@ def main() -> int:
         variants = [(True, True)] if args.fast else [
             (True, True), (True, False), (False, True), (False, False)]
         for ti, tl in kn._FULLSTEP_BI_STREAM_TILES:
-            for Kp in ((32, 128) if args.fast else (32, 64, 128, 256)):
+            for Kp in ((32, 128) if args.fast
+                       else (32, 64, 128, 256, 512, 768, 1024)):
                 if not kn._stream_vmem_fits(ti, tl, Kp):
                     continue
                 for compute_t, with_miss in variants:
@@ -299,7 +311,7 @@ def main() -> int:
         # advisor r3: probe the intermediate Kp lanes the admission model
         # (_fullstep_k_fits) interpolates between its calibration points
         gen_lanes = (kn.GENERIC_K_LANES if args.fast
-                     else (32, 64, 96, 128, 160, 256, 512))
+                     else (32, 64, 96, 128, 160, 256, 512, 768, 1024))
         for ti, tl, b_max in kn._FULLSTEP_TILES:
             for Kp in gen_lanes:
                 if not kn._fullstep_k_fits(ti, tl, Kp):

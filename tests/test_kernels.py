@@ -215,7 +215,7 @@ def test_chunked_mode_engine_step_matches_xla(monkeypatch):
     from multiclust_tpu.runtime.multistart import _to_bi_repr
 
     monkeypatch.setattr(kernels, "pick_layout_biallelic",
-                        lambda I, Kp, L: (0, 0, 0))
+                        lambda I, Kp, L, emit_b=False: (0, 0, 0))
     # budget sized so the 3/4 chunk-mode cap still admits Lc=128
     monkeypatch.setattr(kernels, "_FULLSTEP_BI_TILES",
                         ((64, 128, 2 * 128 * 32 * 4),))
@@ -792,3 +792,70 @@ def test_mixture_layout_chooser():
     t1 = pick_layout_mixture(16384, 128, 2048, with_x1=False)
     t2 = pick_layout_mixture(16384, 128, 2048, with_x1=True)
     assert t1[0] * t1[1] >= t2[0] * t2[1]
+
+
+def test_large_k_ladder_admission():
+    """Round-5 large-K calibration points (real-TPU probe outcomes) are
+    encoded in the admission models; beyond the verified Kp=1024 ceiling
+    every admission refuses and the engine takes the XLA fallback."""
+    from multiclust_tpu.ops.kernels import _bi_k_fits, _fullstep_k_fits, \
+        _stream_vmem_fits, pick_layout
+
+    # generic fullstep: (256,512) OOMs at 768/1024; (128,512) passes
+    # plain at both but its jagged-CHAIN binding OOMs at 1024
+    assert _fullstep_k_fits(128, 512, 768)
+    assert _fullstep_k_fits(64, 512, 1024)
+    assert not _fullstep_k_fits(128, 512, 1024)
+    assert not _fullstep_k_fits(256, 512, 768)
+    assert not _fullstep_k_fits(64, 512, 1056)
+    assert pick_layout(1024, 1056, 4096) == (0, 0, 0)
+    # streamed: measured pass/fail boundary per Kp ((64,512)@768 OOMs
+    # in its logL-free binding, so tl caps at 256 beyond Kp=512)
+    assert _stream_vmem_fits(256, 512, 512)
+    assert not _stream_vmem_fits(512, 512, 512)  # flaky edge: refused
+    assert not _stream_vmem_fits(256, 1024, 512)
+    assert _stream_vmem_fits(64, 256, 768)
+    assert not _stream_vmem_fits(64, 512, 768)
+    assert not _stream_vmem_fits(128, 512, 768)
+    assert _stream_vmem_fits(64, 256, 1024)
+    assert not _stream_vmem_fits(64, 512, 1024)
+    assert not _stream_vmem_fits(64, 128, 1056)
+    # resident biallelic: the calibrated exclusions (full-sweep round 5)
+    assert not _bi_k_fits(1024, 256, 512)
+    assert _bi_k_fits(512, 256, 512) and _bi_k_fits(256, 512, 768)
+    assert not _bi_k_fits(256, 512, 1024)  # project_eta binding OOMs
+    assert _bi_k_fits(128, 512, 1024)
+    assert not _bi_k_fits(512, 256, 1024, emit_b=True)
+    assert _bi_k_fits(256, 256, 1024, emit_b=True)
+    assert not _bi_k_fits(64, 128, 1056)
+    # chunk bindings: verified region is Kp <= 128
+    from multiclust_tpu.ops.kernels import pick_layout_biallelic_chunked
+    assert pick_layout_biallelic_chunked(4096, 128, 65536)[0]
+    assert pick_layout_biallelic_chunked(4096, 256, 65536) == (0, 0, 0, 0)
+
+
+def test_k_beyond_ladder_xla_fallback(rng):
+    """K lanes beyond the verified ladder: the pallas step dispatches to
+    the XLA formulation (with a one-time stderr notice) instead of
+    trusting an uncalibrated compile."""
+    from multiclust_tpu.stats.sim import random_model, \
+        simulate_admixture_fast
+
+    K, I, L = 3, 8, 16
+    Q, P = random_model(rng, K, L, 2, I=I)
+    ds = simulate_admixture_fast(rng, Q, P, ploidy=2)
+    md = model_data_from_dataset(ds, dtype=jnp.float32).prepare_for_em()
+    Kp = 1056  # 33 * 32: beyond the 1024 ceiling
+    eta = jnp.zeros((I, Kp), jnp.float32).at[:, :K].set(
+        jnp.asarray(rng.dirichlet(np.ones(K), size=I), jnp.float32))
+    p = jnp.zeros((Kp, L, 2), jnp.float32).at[:K].set(
+        jnp.asarray(rng.dirichlet(np.ones(2), size=(K, L)), jnp.float32))
+    params = Params(eta=eta, p=p)
+    cfg = EMConfig(admixture=True, use_pallas="interpret", k_true=K,
+                   biallelic=True, has_missing=False)
+    ref, ll_r, _ = admixture._em_step_unconstrained(params, md, cfg)
+    got, ll_g, _ = admixture.em_step(params, md, cfg)
+    np.testing.assert_allclose(np.asarray(got.eta), np.asarray(ref.eta),
+                               rtol=1e-6, atol=1e-7)
+    assert abs(float(df64.df_value(ll_g))
+               - float(df64.df_value(ll_r))) < 1e-3

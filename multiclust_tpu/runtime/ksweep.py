@@ -61,31 +61,29 @@ def estimate_model(key, md: ModelData, opt: Options, n_parameters_fn,
     # Dynamic-K sweeps (VERDICT r4 item 1): on accelerators every K of a
     # sweep shares ONE compiled program set - chains carry their
     # true-lane set as data (Params.kmask) instead of the static
-    # cfg.k_true that forces a recompile per K.  Two execution shapes:
-    #
-    # * SMALL problems (chip underfilled by one K's 8-chain batch): the
-    #   MERGED mixed-K lattice (multistart.swept_maximize) additionally
-    #   runs every K's multi-start concurrently, with per-K PRNG
-    #   streams/bookkeeping replicating the serial loop exactly.
-    # * otherwise: the SHARED-PROGRAM serial loop - per-K fits in
-    #   reference order, zero lockstep waste across K, one compile
-    #   (measured: the merged lattice pays ~2x lockstep waste at
-    #   4096x2048 when one K's chains run 4000 iterations while the
-    #   rest converge early).
+    # cfg.k_true that forces a recompile per K.  The default execution
+    # shape is the SHARED-PROGRAM serial loop: per-K fits in reference
+    # order, zero cross-K lockstep waste, one compile.  The MERGED
+    # mixed-K lattice (multistart.swept_maximize: every K's multi-start
+    # concurrent in one lattice, per-K PRNG streams/bookkeeping
+    # replicating the serial loop exactly) is opt-in
+    # (MULTICLUST_SWEEP_MODE=merged): it wins only when chains across K
+    # run comparably long - when one K's chains run to a cap while the
+    # rest converge early, the whole lattice pays that K's iterations
+    # (measured 34 s vs 9 s on a mixture sweep; 204 vs 97-113 s at
+    # 4096x2048 admixture).
     swept: Dict[int, MaximizeResult] = {}
     shared_Kp = 0
     import os as _os
     from multiclust_tpu.model.common import k_padded_size
     from multiclust_tpu.runtime.multistart import swept_eligible, \
         swept_maximize
-    # MULTICLUST_SWEEP_MODE: auto (default) | static | shared | merged -
-    # A/B escape hatch for benchmarking the execution shapes
+    # MULTICLUST_SWEEP_MODE: auto (default = shared) | static | shared |
+    # merged - A/B escape hatch for the execution shapes
     mode = _os.environ.get("MULTICLUST_SWEEP_MODE", "auto")
     eligible = (warm is None and checkpoint_dir is None
                 and mode != "static")
-    if (eligible and swept_eligible(opt, md, ks)
-            and (md.I * md.L * md.M <= 4 << 20 or mode == "merged")
-            and mode != "shared"):
+    if (eligible and swept_eligible(opt, md, ks) and mode == "merged"):
         keys_by_K = []
         subs = {}
         for K in ks:

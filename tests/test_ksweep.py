@@ -292,3 +292,24 @@ def test_shared_serial_sweep_matches_static(rng):
         np.testing.assert_allclose(dyn.max_logL, st.max_logL, rtol=1e-9)
         assert dyn.best_params.p.shape == st.best_params.p.shape
         assert dyn.best_params.kmask is None
+
+
+def test_shared_serial_mixture_matches_static(rng):
+    """Shared-program serial mode for the MIXTURE model: k_true stays 0
+    (no admixture padding machinery) and the kmask alone carries the
+    dynamic lane set."""
+    from multiclust_tpu.runtime.multistart import maximize_likelihood
+
+    ds = _dataset(rng, K=3, I=48, L=30)
+    md = model_data_from_dataset(ds, dtype=jnp.float64)
+    opt = Options(admixture=False, n_init=2, dtype="float64",
+                  max_iter=250, min_K=2, max_K=4, n_rand_em_init=2)
+    opt = opt.synchronize(ds.I, ds.ploidy)
+    for K in (2, 4):
+        key = jax.random.PRNGKey(200 + K)
+        dyn = maximize_likelihood(key, md, K, opt, 50, quiet=True,
+                                  shared_Kp=32)
+        st = maximize_likelihood(key, md, K, opt, 50, quiet=True)
+        assert dyn.n_launched == st.n_launched
+        np.testing.assert_allclose(dyn.max_logL, st.max_logL, rtol=1e-9)
+        assert dyn.best_params.p.shape == st.best_params.p.shape

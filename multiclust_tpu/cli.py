@@ -400,9 +400,14 @@ def _main(argv: Optional[List[str]] = None) -> int:
         opt.dtype = "float64"  # reference-precision semantics on CPU
 
     # persistent XLA compilation cache (VERDICT r4 item 1): repeat CLI
-    # invocations skip every jit compile.  Default on; --compile-cache
-    # off disables, --compile-cache <dir> relocates.
-    if opt.compile_cache != "off":
+    # invocations skip every jit compile.  Default on for ACCELERATOR
+    # runs; --compile-cache off disables, --compile-cache <dir>
+    # relocates.  Never enabled for the CPU backend: XLA:CPU AOT
+    # artifacts reload with host machine-feature mismatches
+    # ("+prefer-no-scatter is not supported on the host machine") and
+    # SIGABRT inside collective thunks - observed on the 8-virtual-
+    # device test meshes the moment the round-5 cache landed.
+    if opt.compile_cache != "off" and platform != "cpu":
         import os as _os2
         cache_dir = opt.compile_cache or _os2.path.join(
             _os2.path.expanduser("~"), ".cache", "multiclust-tpu", "xla")

@@ -149,7 +149,8 @@ def _bi_fullstep_fn(mode: str, I: int, Kp: int, L: int, ti: int, tl: int):
     'chunked' (chained one-pass launches over resident-budget column
     chunks - the biobank-L default), or 'streamed' (two-pass).  All three
     share the (eta, p0, x0, x1, c, miss, **kw) calling convention with
-    kw = ti/tl/k_true/lb/plb/project/compute_t/emit_b/emit_a/interpret."""
+    kw = ti/tl/k_true/lb/plb/project/compute_t/emit_b/emit_a/interpret
+    plus the optional runtime ``kmask`` lane mask (dynamic-K sweeps)."""
     from multiclust_tpu.ops.kernels import (
         admixture_fullstep_biallelic,
         admixture_fullstep_biallelic_chunked,
@@ -302,17 +303,16 @@ def _em_step_bi_repr(params, md, cfg, want_ll=True):
         x1 = jnp.pad(x1, ((0, 0), (0, dL)))
     c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
     fn = _bi_fullstep_fn(mode, md.I, Kp, md.L, ti, tl)
+    # dynamic-K: the kernel reads the RUNTIME kmask and keeps the whole
+    # eta Michelot on-chip (round-5: the XLA-relocation alternative
+    # measured +43% per EM segment; and the p clip must never be
+    # dropped with it - it shares the `project` flag)
     eta_new, per_i, p0n = fn(
-        eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
+        eta, p0, x0, x1, c, miss, kmask=params.kmask,
+        ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
         project=cfg.do_projection,
-        # dynamic-K: only the ETA Michelot moves to XLA (static-k_true
-        # lane set); the in-kernel p clip stays on (round-5 lesson: a
-        # blanket project=False silently dropped it)
-        project_eta=cfg.do_projection and params.kmask is None,
         compute_t=want_ll, interpret=cfg.use_pallas == "interpret")
-    if cfg.do_projection and params.kmask is not None:
-        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
     if not want_ll:
         z = jnp.zeros((), eta.dtype)
         return params._replace(eta=eta_new, p=p0n), (z, z), z
@@ -531,16 +531,14 @@ def _em_step_unconstrained_pallas(params, md, cfg, want_ll=True):
         c = (jnp.sum(md.miss.astype(params.eta.dtype), axis=1,
                  keepdims=True) if cfg.has_missing
              else jnp.zeros((md.I, 1), eta.dtype))
-        # dynamic-K lattices (params.kmask) cannot use the in-kernel
-        # Michelot (static k_true): the kernel emits the normalized,
-        # unprojected eta and the masked projection runs in XLA below
+        # dynamic-K lattices (params.kmask): the kernel reads the
+        # runtime lane mask and the Michelot stays on-chip
         eta_new, per_i, B = admixture_fullstep(
-            eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
+            eta, p2, x2, c, kmask=params.kmask,
+            ti=ti, tl=tl, k_true=cfg.k_true,
             lb=float(cfg.eta_lower_bound),
-            project=cfg.do_projection and params.kmask is None,
+            project=cfg.do_projection,
             compute_t=want_ll, interpret=interpret)
-        if cfg.do_projection and params.kmask is not None:
-            eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
         B = B[:, :LM]
     else:
         eta_p, p2_p, x2_p, (I, _, LM) = pad_for_kernel(eta, p2, x2)
@@ -605,13 +603,11 @@ def _em_step_biallelic_pallas(params, md, cfg, interpret, want_ll=True):
     c, miss = _bi_miss_inputs(md, cfg, Lp, eta.dtype)
     fn = _bi_fullstep_fn(mode, md.I, K, md.L, ti, tl)
     eta_new, per_i, p0n = fn(
-        eta, p0, x0, x1, c, miss, ti=ti, tl=tl, k_true=cfg.k_true,
+        eta, p0, x0, x1, c, miss, kmask=params.kmask,
+        ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound), plb=float(cfg.p_lower_bound),
         project=cfg.do_projection,
-        project_eta=cfg.do_projection and params.kmask is None,
         compute_t=want_ll, interpret=interpret)
-    if cfg.do_projection and params.kmask is not None:
-        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
     p0n = p0n[:, :md.L]
     kv = (params.kmask > 0.5 if params.kmask is not None
           else _k_valid(cfg, K))
@@ -768,12 +764,11 @@ def _bucketed_fullstep_fused(params, bd, cfg, want_ll):
              for md_b in bd.buckets) if cfg.has_missing
          else jnp.zeros((bd.I, 1), eta.dtype))
     eta_new, per_i, B = admixture_fullstep(
-        eta, p2, x2, c, ti=ti, tl=tl, k_true=cfg.k_true,
+        eta, p2, x2, c, kmask=params.kmask,
+        ti=ti, tl=tl, k_true=cfg.k_true,
         lb=float(cfg.eta_lower_bound),
-        project=cfg.do_projection and params.kmask is None,
+        project=cfg.do_projection,
         compute_t=want_ll, interpret=cfg.use_pallas == "interpret")
-    if cfg.do_projection and params.kmask is not None:
-        eta_new = _project_eta_rows(eta_new, cfg, params.kmask)
     Bs = []
     lo = 0
     for n in lane_sizes:
@@ -825,17 +820,15 @@ def _bucketed_fullstep_chain(params, bd, cfg, want_ll):
             x2 = jnp.pad(x2, ((0, 0), (0, LMp - LM)))   # normally 0)
         last = j == n - 1
         aout, t_b, B = admixture_fullstep(
-            eta, p2, x2, c if last else zero_c, a0,
+            eta, p2, x2, c if last else zero_c, a0, params.kmask,
             ti=ti, tl=tl, k_true=cfg.k_true,
             lb=float(cfg.eta_lower_bound),
-            project=cfg.do_projection and params.kmask is None,
+            project=cfg.do_projection,
             compute_t=want_ll, emit_a=not last, interpret=interpret)
         per_i = t_b if per_i is None else per_i + t_b
         Bs.append(B[:, :LM])
         a0 = aout  # raw A for the next launch; eta_new on the last
 
-    if cfg.do_projection and params.kmask is not None:
-        a0 = _project_eta_rows(a0, cfg, params.kmask)
     new_ps = _bucketed_p_epilogue(Bs, params, bd, cfg, eta)
     if want_ll:
         ll = df64.df_sum(per_i)

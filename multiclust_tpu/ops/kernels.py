@@ -151,16 +151,25 @@ def _recip(d):
     return r * (2.0 - d * r)
 
 
-def _michelot_tile(v, k_true: int, lb: float):
+def _michelot_tile(v, k_true: int, lb: float, maskf=None):
     """In-kernel batched Michelot projection of [ti, Kp] rows onto
     {x >= lb on lanes < k_true, sum = 1}; pad lanes forced to zero.
     Same algorithm as ops/simplex.project_rows (michelot_project,
     simplex.c:109-143).  The loop carries float 0/1 masks instead of bools:
-    Mosaic cannot legalize i1 vectors through scf.while."""
+    Mosaic cannot legalize i1 vectors through scf.while.
+
+    ``maskf`` (dynamic-K kernels): a RUNTIME [.., Kp] 1.0/0.0 true-lane
+    mask read from a kernel input overrides the static k_true lane set -
+    one compiled kernel then serves every K of a sweep with the
+    projection staying on-chip (round 5; the XLA-relocation alternative
+    measured +43% per EM segment)."""
     f32 = v.dtype
-    lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    maskf = jnp.where(lanes < k_true, jnp.asarray(1.0, f32),
-                      jnp.asarray(0.0, f32))
+    if maskf is None:
+        lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        maskf = jnp.where(lanes < k_true, jnp.asarray(1.0, f32),
+                          jnp.asarray(0.0, f32))
+    else:
+        maskf = jnp.broadcast_to(maskf.astype(f32), v.shape)
     w0 = v * maskf
     done0 = jnp.zeros((v.shape[0], 1), f32)
 
@@ -191,9 +200,11 @@ def _michelot_tile(v, k_true: int, lb: float):
 def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, *rest, tl: int,
                      n_l: int, k_true: int, lb: float,
                      project: bool, compute_t: bool,
-                     with_a0: bool = False, emit_a: bool = False):
+                     with_a0: bool = False, emit_a: bool = False,
+                     with_kmask: bool = False):
     rest = list(rest)
     a0_ref = rest.pop(0) if with_a0 else None
+    kmask_ref = rest.pop(0) if with_kmask else None
     etan_ref, t_ref, b_ref, a_scr = rest
     i_idx = pl.program_id(0)
     l_idx = pl.program_id(1)
@@ -240,14 +251,17 @@ def _fullstep_kernel(eta_ref, p_ref, x_ref, c_ref, *rest, tl: int,
             e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
                            eta_ref[:])
             if project:
-                e2 = _michelot_tile(e2, k_true, lb)
+                e2 = _michelot_tile(
+                    e2, k_true, lb,
+                    kmask_ref[:] if with_kmask else None)
             etan_ref[:] = e2
 
 
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "project", "compute_t", "emit_a",
     "interpret"))
-def admixture_fullstep(eta, p2, x2, c, a0=None, *, ti: int, tl: int,
+def admixture_fullstep(eta, p2, x2, c, a0=None, kmask=None, *, ti: int,
+                       tl: int,
                        k_true: int, lb: float, project: bool,
                        compute_t: bool = True, emit_a: bool = False,
                        interpret: bool = False):
@@ -277,6 +291,7 @@ def admixture_fullstep(eta, p2, x2, c, a0=None, *, ti: int, tl: int,
     n_i, n_l = I // ti, LMp // tl
     f32 = jnp.float32
     with_a0 = a0 is not None
+    with_kmask = kmask is not None
 
     ik_spec = pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -293,11 +308,16 @@ def admixture_fullstep(eta, p2, x2, c, a0=None, *, ti: int, tl: int,
     if with_a0:
         in_specs.append(ik_spec)
         args.append(a0)
+    if with_kmask:
+        in_specs.append(pl.BlockSpec((1, Kp), lambda i, l: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(kmask.reshape(1, Kp).astype(f32))
 
     etan, t_out, b_out = pl.pallas_call(
         functools.partial(_fullstep_kernel, tl=tl, n_l=n_l, k_true=k_true,
                           lb=lb, project=project, compute_t=compute_t,
-                          with_a0=with_a0, emit_a=emit_a),
+                          with_a0=with_a0, emit_a=emit_a,
+                          with_kmask=with_kmask),
         grid=(n_i, n_l),
         in_specs=in_specs,
         out_specs=[
@@ -326,11 +346,13 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
                         lb: float, plb: float, project: bool,
                         compute_t: bool, with_miss: bool, emit_b: bool,
                         emit_a: bool = False, with_a0: bool = False,
-                        project_eta: bool = None):
+                        project_eta: bool = None,
+                        with_kmask: bool = False):
     """Biallelic full EM step: see ``admixture_fullstep_biallelic``."""
     rest = list(rest)
     miss_ref = rest.pop(0) if with_miss else None
     a0_ref = rest.pop(0) if with_a0 else None
+    kmask_ref = rest.pop(0) if with_kmask else None
     etan_ref = rest.pop(0)
     t_ref = rest.pop(0)
     if emit_b:
@@ -406,11 +428,14 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
             tot = jnp.sum(num, axis=1, keepdims=True)
             e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
                            eta_ref[:])
-            # dynamic-K callers disable ONLY the eta Michelot (its lane
-            # set is the static k_true) and project in XLA through the
-            # kmask; the p clip below stays governed by `project`
+            # dynamic-K callers either supply the RUNTIME kmask (the
+            # Michelot stays on-chip with the data-carried lane set) or
+            # disable only the eta Michelot via project_eta and project
+            # in XLA; the p clip below stays governed by `project`
             if project if project_eta is None else project_eta:
-                e2 = _michelot_tile(e2, k_true, lb)
+                e2 = _michelot_tile(
+                    e2, k_true, lb,
+                    kmask_ref[:] if with_kmask else None)
             etan_ref[:] = e2
 
     # B complete at the very last grid step: the whole p update (M-step
@@ -441,7 +466,8 @@ def _fullstep_bi_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
     "emit_a", "chunk_idx", "n_chunks", "interpret", "project_eta"))
-def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
+def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None,
+                                 kmask=None, *,
                                  ti: int,
                                  tl: int, k_true: int, lb: float, plb: float,
                                  project: bool, compute_t: bool = True,
@@ -506,6 +532,7 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
     f32 = jnp.float32
     with_miss = miss is not None
     with_a0 = a0 is not None
+    with_kmask = kmask is not None
 
     in_specs = [
         pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
@@ -528,6 +555,12 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
         in_specs.append(pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(a0)
+    if with_kmask:
+        # runtime true-lane mask [1, Kp], replicated per tile (dynamic-K
+        # sweeps: one compiled kernel serves every K)
+        in_specs.append(pl.BlockSpec((1, Kp), lambda i, l: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(kmask.reshape(1, Kp).astype(f32))
 
     out_specs = [
         pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
@@ -566,7 +599,7 @@ def admixture_fullstep_biallelic(eta, p0, x0, x1, c, miss=None, a0=None, *,
                           k_true=k_true, lb=lb, plb=plb, project=project,
                           compute_t=compute_t, with_miss=with_miss,
                           emit_b=emit_b, emit_a=emit_a, with_a0=with_a0,
-                          project_eta=project_eta),
+                          project_eta=project_eta, with_kmask=with_kmask),
         grid=(n_i, n_l),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -801,7 +834,8 @@ def admixture_fullstep_biallelic_chunked(eta, p0, x0, x1, c, miss=None, *,
                                          emit_b: bool = False,
                                          emit_a: bool = False,
                                          interpret: bool = False,
-                                         project_eta: bool = None):
+                                         project_eta: bool = None,
+                                         kmask=None):
     """ONE-PASS biallelic full step for L beyond the resident-B budget: a
     chain of ``n_chunks`` resident fullstep launches over tl-aligned
     column chunks (static block-spec offsets - no HBM slicing), with the
@@ -826,7 +860,8 @@ def admixture_fullstep_biallelic_chunked(eta, p0, x0, x1, c, miss=None, *,
     for j in range(n_chunks):
         last = j == n_chunks - 1
         out = admixture_fullstep_biallelic(
-            eta, p0, x0, x1, c, miss, a0, ti=ti, tl=tl, k_true=k_true,
+            eta, p0, x0, x1, c, miss, a0, kmask,
+            ti=ti, tl=tl, k_true=k_true,
             lb=lb, plb=plb, project=project, compute_t=compute_t,
             emit_b=emit_b, emit_a=emit_a if last else True,
             chunk_idx=j, n_chunks=n_chunks, interpret=interpret,
@@ -849,11 +884,14 @@ def admixture_fullstep_biallelic_chunked(eta, p0, x0, x1, c, miss=None, *,
     return a0, t_sum, jnp.concatenate(p0n_chunks, axis=1)
 
 
-def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
-                      etan_ref, t_ref, a_scr, r_scr, *,
+def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref, *rest,
                       n_l: int, k_true: int, lb: float, project: bool,
                       compute_t: bool, emit_a: bool = False,
-                      project_eta: bool = None):
+                      project_eta: bool = None,
+                      with_kmask: bool = False):
+    rest = list(rest)
+    kmask_ref = rest.pop(0) if with_kmask else None
+    etan_ref, t_ref, a_scr, r_scr = rest
     """Streamed pass A (grid i-outer, l-inner): per-individual statistics
     and the COMPLETE eta update; p0 streams through VMEM as [Kp, tl]
     blocks.  Same math as _fullstep_bi_kernel's A/t/eta side."""
@@ -894,9 +932,12 @@ def _bi_istats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, c_ref,
             tot = jnp.sum(num, axis=1, keepdims=True)
             e2 = jnp.where(tot > 0, num / jnp.where(tot > 0, tot, 1.0),
                            eta_ref[:])
-            # dynamic-K callers project in XLA (see _fullstep_bi_kernel)
+            # dynamic-K: runtime kmask keeps the Michelot on-chip
+            # (see _fullstep_bi_kernel)
             if project if project_eta is None else project_eta:
-                e2 = _michelot_tile(e2, k_true, lb)
+                e2 = _michelot_tile(
+                    e2, k_true, lb,
+                    kmask_ref[:] if with_kmask else None)
             etan_ref[:] = e2
 
 
@@ -963,7 +1004,8 @@ def _bi_lstats_kernel(eta_ref, p0_ref, x0_ref, x1_ref, *rest,
 @functools.partial(jax.jit, static_argnames=(
     "ti", "tl", "k_true", "lb", "plb", "project", "compute_t", "emit_b",
     "emit_a", "interpret", "project_eta"))
-def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
+def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None,
+                                          kmask=None, *,
                                           ti: int, tl: int, k_true: int,
                                           lb: float, plb: float,
                                           project: bool,
@@ -991,25 +1033,33 @@ def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
     n_i, n_l = I // ti, Lp // tl
     f32 = jnp.float32
     with_miss = miss is not None
+    with_kmask = kmask is not None
+
+    a_in_specs = [
+        pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tl), lambda i, l: (i, l),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    a_args = [eta, p0, x0, x1, c]
+    if with_kmask:
+        a_in_specs.append(pl.BlockSpec((1, Kp), lambda i, l: (0, 0),
+                                       memory_space=pltpu.VMEM))
+        a_args.append(kmask.reshape(1, Kp).astype(f32))
 
     etan, t_out = pl.pallas_call(
         functools.partial(_bi_istats_kernel, n_l=n_l, k_true=k_true, lb=lb,
                           project=project, compute_t=compute_t,
-                          project_eta=project_eta,
+                          project_eta=project_eta, with_kmask=with_kmask,
                           emit_a=emit_a),
         grid=(n_i, n_l),
-        in_specs=[
-            pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, tl), lambda i, l: (0, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, tl), lambda i, l: (i, l),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, 1), lambda i, l: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=a_in_specs,
         out_specs=[
             pl.BlockSpec((ti, Kp), lambda i, l: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -1023,7 +1073,7 @@ def admixture_fullstep_biallelic_streamed(eta, p0, x0, x1, c, miss=None, *,
         scratch_shapes=[pltpu.VMEM((ti, Kp), f32),
                         pltpu.VMEM((ti, 1), f32)],
         interpret=interpret,
-    )(eta, p0, x0, x1, c)
+    )(*a_args)
 
     in_specs = [
         pl.BlockSpec((ti, Kp), lambda l, i: (i, 0),

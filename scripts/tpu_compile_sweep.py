@@ -40,7 +40,8 @@ def _sds(shape, dtype):
 
 
 def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False,
-               emit_a=False, chunk=None, project_eta=None):
+               emit_a=False, chunk=None, project_eta=None,
+               with_kmask=False):
     """``chunk``: None = plain resident; "mid"/"fin" = the chained
     one-pass chunk-mode bindings (admixture_fullstep_biallelic_chunked) -
     full-width arrays with static block-offset maps, a0 threading, and
@@ -66,6 +67,10 @@ def compile_bi(ti, tl, b_max, Kp, compute_t, with_miss, emit_b=False,
     elif chunk == "fin":
         args.append(_sds((I, Kp), f32))  # a0 seed from the prior launch
         kw = dict(emit_b=emit_b, emit_a=emit_a, chunk_idx=1, n_chunks=2)
+    if with_kmask:
+        if not chunk:
+            args.append(None)  # a0 slot
+        args.append(_sds((Kp,), f32))
     kn.admixture_fullstep_biallelic.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, plb=1e-8, project=True,
         project_eta=project_eta, compute_t=compute_t, interpret=False,
@@ -127,7 +132,8 @@ def compile_mix_twopass(ti, tl, Kp, with_x1):
     return (I, Kp, Lp)
 
 
-def compile_generic(ti, tl, b_max, Kp, compute_t, chain=False):
+def compile_generic(ti, tl, b_max, Kp, compute_t, chain=False,
+                    with_kmask=False):
     LMp = (b_max // (Kp * 4)) // tl * tl
     if LMp == 0:
         return None
@@ -140,6 +146,10 @@ def compile_generic(ti, tl, b_max, Kp, compute_t, chain=False):
         # jagged-M bucket chaining: a0-seeded accumulator + emit_a
         args.append(_sds((I, Kp), f32))
         kw = dict(emit_a=True)
+    if with_kmask:  # dynamic-K runtime lane mask (round 5)
+        if not chain:
+            args.append(None)
+        args.append(_sds((Kp,), f32))
     kn.admixture_fullstep.lower(
         *args, ti=ti, tl=tl, k_true=20, lb=1e-8, project=True,
         compute_t=compute_t, interpret=False, **kw).compile()
@@ -189,10 +199,11 @@ def main() -> int:
                                  (emits if compute_t and with_miss
                                   else ((False, False),))]
                     if compute_t and with_miss:
-                        # dynamic-K swept-sweep binding: eta Michelot
-                        # off (projected in XLA via the kmask), p clip
-                        # ON (round-5 project_eta split)
+                        # dynamic-K bindings: runtime-kmask in-kernel
+                        # Michelot (the production sweep path) and the
+                        # project_eta=False XLA-relocation fallback
                         emit_list.append((False, False, "peta"))
+                        emit_list.append((False, False, "kmask"))
                         # chained one-pass chunk bindings (biobank-L):
                         # non-final (emit_a, no a0) and final (a0 seeded)
                         emit_list += [(False, False, "mid"),
@@ -202,7 +213,8 @@ def main() -> int:
                         emit_list = [e for e in emit_list if e[2]]
                     for emit_b, emit_a, chunk in emit_list:
                         peta = chunk == "peta"
-                        if peta:
+                        km = chunk == "kmask"
+                        if peta or km:
                             chunk = None
                         # round-5 calibrated exclusions: chunk bindings
                         # verified to Kp=128; emit_b resident outputs
@@ -216,14 +228,16 @@ def main() -> int:
                                f"Kp={Kp} t={int(compute_t)} "
                                f"miss={int(with_miss)} eb={int(emit_b)} "
                                f"ea={int(emit_a)} ch={chunk or '-'}"
-                               f"{' peta' if peta else ''}")
+                               f"{' peta' if peta else ''}"
+                               f"{' kmask' if km else ''}")
                         t0 = time.time()
                         try:
                             shape = compile_bi(ti, tl, b_max, Kp,
                                                compute_t, with_miss,
                                                emit_b, emit_a, chunk,
                                                project_eta=(False if peta
-                                                            else None))
+                                                            else None),
+                                               with_kmask=km)
                             if shape is None:
                                 print(f"SKIP {tag} (no admissible Lp)")
                                 continue
@@ -317,15 +331,18 @@ def main() -> int:
                 if not kn._fullstep_k_fits(ti, tl, Kp):
                     continue
                 for compute_t in variants_t:
-                    for chain in ((False, True) if compute_t
-                                  else (False,)):
+                    for chain, km in (((False, False), (True, False),
+                                       (False, True), (True, True))
+                                      if compute_t
+                                      else ((False, False),)):
                         tag = (f"gen ti={ti} tl={tl} cap={b_max//1024}K "
                                f"Kp={Kp} t={int(compute_t)} "
-                               f"chain={int(chain)}")
+                               f"chain={int(chain)}"
+                               f"{' kmask' if km else ''}")
                         t0 = time.time()
                         try:
                             shape = compile_generic(ti, tl, b_max, Kp,
-                                                    compute_t, chain)
+                                                    compute_t, chain, km)
                             if shape is None:
                                 print(f"SKIP {tag} (no admissible LMp)")
                                 continue
